@@ -1,0 +1,165 @@
+"""Unit tests for stateless kernels (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cloud_crawler_ray.functions import hashing, imaging, text, urls
+
+
+class TestHash64:
+    def test_deterministic(self):
+        a = hashing.hash64(["http://a.com/", "http://b.com/x"])
+        b = hashing.hash64(["http://a.com/", "http://b.com/x"])
+        assert np.array_equal(a, b)
+        assert a.dtype == np.uint64
+
+    def test_distinct(self):
+        strs = [f"http://host{i}.com/p{j}" for i in range(50) for j in range(50)]
+        h = hashing.hash64(strs)
+        assert len(np.unique(h)) == len(strs)
+
+    def test_seed_changes_hash(self):
+        assert hashing.hash64_scalar("x", seed=1) != hashing.hash64_scalar("x", seed=2)
+
+    def test_prefix_not_equal(self):
+        # padding must not alias "ab" with "ab\0\0..."
+        assert hashing.hash64_scalar("ab") != hashing.hash64_scalar("ab\x00")
+
+    def test_empty_and_null(self):
+        arr = pa.array(["", None, "x"])
+        h = hashing.hash64(arr)
+        assert h[1] == 0 and h[0] != 0 and h[2] != 0
+
+    def test_large_string(self):
+        arr = pa.array(["abc", "defg"], pa.large_string())
+        assert len(hashing.hash64(arr)) == 2
+
+    def test_matches_scalar(self):
+        batch = [f"u{i}" * (i % 7 + 1) for i in range(100)]
+        h = hashing.hash64(batch)
+        for i in (0, 13, 99):
+            assert hashing.hash64_scalar(batch[i]) == int(h[i])
+
+    def test_sliced_array(self):
+        arr = pa.array(["a", "bb", "ccc", "dddd"]).slice(1, 2)
+        h = hashing.hash64(arr)
+        assert int(h[0]) == hashing.hash64_scalar("bb")
+        assert int(h[1]) == hashing.hash64_scalar("ccc")
+
+
+class TestUrls:
+    def test_canonicalize(self):
+        out = urls.canonicalize(
+            [
+                "HTTP://Example.COM",
+                "https://A.com:443/p#frag",
+                "http://a.com:80/x?q=1#z",
+                "http://a.com/x?q=1",
+                "not a url",
+            ]
+        ).to_pylist()
+        assert out == [
+            "http://example.com/",
+            "https://a.com/p",
+            "http://a.com/x?q=1",
+            "http://a.com/x?q=1",
+            None,
+        ]
+
+    def test_extract_host(self):
+        out = urls.extract_host(["http://A.com:8080/x", "https://b.org/"]).to_pylist()
+        assert out == ["a.com", "b.org"]
+
+    def test_resolve_links(self):
+        out = urls.resolve_links(
+            ["/page2", "http://other.com/x", "mailto:x@y", "relative"],
+            "http",
+            "a.com",
+        ).to_pylist()
+        assert out == ["http://a.com/page2", "http://other.com/x", None, None]
+
+    def test_host_partition_stable(self):
+        p1 = urls.host_partition(["a.com", "b.com"], 16)
+        p2 = urls.host_partition(["a.com", "b.com"], 16)
+        assert np.array_equal(p1, p2)
+        assert (p1 >= 0).all() and (p1 < 16).all()
+
+
+class TestImaging:
+    @pytest.mark.parametrize("w,h", [(16, 16), (33, 17), (64, 64)])
+    def test_raw_roundtrip(self, w, h):
+        img = imaging.synth_image(42, w, h)
+        assert np.array_equal(imaging.decode_raw(imaging.encode_raw(img), w, h), img)
+
+    @pytest.mark.parametrize("w,h", [(16, 16), (33, 17), (64, 48)])
+    def test_png_roundtrip(self, w, h):
+        img = imaging.synth_image(7, w, h)
+        assert np.array_equal(imaging.decode_png(imaging.encode_png(img)), img)
+
+    def test_q6_psnr(self):
+        img = imaging.synth_image(3, 32, 32)
+        rec = imaging.decode_q6(imaging.encode_q6(img), 32, 32)
+        p = imaging.psnr(img, rec)
+        assert p >= 40.0, p
+
+    def test_phash_properties(self):
+        img = imaging.synth_image(11, 48, 48)
+        h1 = imaging.phash64(img)
+        assert h1 == imaging.phash64(img.copy())
+        # small noise → small hamming distance; different image → large
+        noisy = np.clip(img.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+        other = imaging.synth_image(999, 48, 48)
+        d_noise = int(text.hamming64(np.array([h1]), np.array([imaging.phash64(noisy)]))[0])
+        d_other = int(text.hamming64(np.array([h1]), np.array([imaging.phash64(other)]))[0])
+        assert d_noise <= 8
+        assert d_other > 10
+
+    def test_synth_deterministic(self):
+        assert np.array_equal(imaging.synth_image(5, 20, 20), imaging.synth_image(5, 20, 20))
+
+
+class TestText:
+    def test_ws_token_count(self):
+        assert text.ws_token_count(["a b  c", "", "  x "]).tolist() == [3, 0, 1]
+
+    def test_bpe_token_count(self):
+        assert text.bpe_token_count(["ab12,cd"]).tolist() == [4]  # ab|12|,|cd
+
+    def test_quality_monotone_len(self):
+        q = text.quality_score(["the a of", "the quick brown fox " * 30])
+        assert 0 <= q[0] <= 1 and 0 <= q[1] <= 1
+
+    def test_lang_id(self):
+        out = text.lang_id(["the cat is in that hat", "el que de la y en un", "xyzzy"])
+        assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+    def test_minhash_jaccard_correlation(self):
+        mh = text.MinHasher(num_perm=128)
+        t1 = "the quick brown fox jumps over the lazy dog again and again today"
+        t2 = t1 + " tomorrow"
+        t3 = "completely different words entirely here nothing shared at all ok"
+        s1, s2, s3 = (text.shingle_hashes(t) for t in (t1, t2, t3))
+        sig1, sig2, sig3 = (mh.signature(s) for s in (s1, s2, s3))
+        est12 = (sig1 == sig2).mean()
+        est13 = (sig1 == sig3).mean()
+        assert est12 > 0.5 and est13 < 0.2
+        assert text.jaccard(s1, s2) > 0.5 and text.jaccard(s1, s3) == 0.0
+
+    def test_band_keys_match_for_identical(self):
+        mh = text.MinHasher()
+        s = text.shingle_hashes("one two three four five six seven")
+        assert np.array_equal(mh.band_keys(mh.signature(s)), mh.band_keys(mh.signature(s)))
+
+    def test_simhash_near(self):
+        t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        t2 = t1 + "iota"
+        h = text.simhash64([t1, t2, "unrelated totally different content xyz"])
+        d12 = int(text.hamming64(h[:1], h[1:2])[0])
+        d13 = int(text.hamming64(h[:1], h[2:3])[0])
+        assert d12 < d13
+
+    def test_fingerprint_deterministic(self):
+        f1 = text.doc_fingerprint(["a b c d e f g h", "short"])
+        f2 = text.doc_fingerprint(["a b c d e f g h", "short"])
+        assert np.array_equal(f1, f2)
