@@ -1,0 +1,737 @@
+"""Operator inventory as Ray Data pipelines over the driver testdata.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a
+``ray.data.Dataset`` / ``pyarrow.Table``; ``ORACLE_SQL`` holds the matching
+DuckDB SQL (same column names — the driver value-hashes after sorting
+columns by name). Together they form the per-operator correctness gate
+(``__ray_entry__.queries()`` / ``oracle_sql()``).
+
+Mapping to the reference's operator inventory (SURVEY.md §2):
+  frontier_pull_batch   ← MongoQueueTaskProvider.pullBatch scan+limit (:33-48)
+  status_counts         ← wave-end outcome counts (SaveCrawlResultController.scala:130-150)
+  retry_split           ← attempt-capped fold (QueueTaskServiceImpl.scala:101-115)
+  dedup_keep_first      ← keep-first self-join purge (SqlQueueTaskProvider.scala:73-77)
+  anti_join_new_urls    ← pushTasks anti-join dedup (SqlQueueTaskProvider.scala:58-68)
+  broadcast_config_join ← projects_url ⋈ projects small-side join (SqlQueueTaskProvider.scala:22)
+  topk_priority         ← priority-queue frontier top-k (SURVEY.md §2.7)
+  distinct_flags        ← distinct-before-insert (SqlQueueTaskProvider.scala:68)
+plus the training-data-pipeline extensions (dedup suite, similarity search,
+text analysis, windowed/sessionized events) the north_rule adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .functions import text as T
+from .functions.hashing import hash64
+
+_PA = {"batch_format": "pyarrow"}
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Frontier / queue operator analogs (reference parity)
+# --------------------------------------------------------------------------
+
+
+def q_frontier_pull_batch(sf_dir: str):
+    """Claim-scan: filter status, deterministic order, limit (pullBatch analog).
+
+    The reference leaves scan order unspecified (SURVEY.md §4.3); the engine
+    pins it — here (o_orderkey asc), limit 100.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")), **_PA)
+    return ds.sort("o_orderkey").limit(100).select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+def q_status_counts(sf_dir: str):
+    """Wave-end outcome metrics: partial count per batch, then tiny groupby-sum.
+
+    The partial/combiner split keeps the shuffle input at one row per
+    (status × batch) instead of one row per task.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["o_orderstatus"].value_counts()
+        return pa.table({"status": vc.field("values"), "partial_n": vc.field("counts")})
+
+    partials = ds.map_batches(partial, **_PA)
+    return partials.groupby("status").aggregate(Sum("partial_n", alias_name="n"))
+
+
+def q_retry_split(sf_dir: str):
+    """Attempt-capped retry fold: attempt+1 >= 3 ? failed : wait (vectorized if_else)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def split(t: pa.Table) -> pa.Table:
+        attempt = t["event_id"].to_numpy() % 5 + 1  # pyarrow 16 has no modulo kernel
+        status = pc.if_else(pa.array(attempt >= 3), pa.scalar("failed"), pa.scalar("wait"))
+        return pa.table({"event_id": t["event_id"], "next_status": status})
+
+    return ds.map_batches(split, **_PA)
+
+
+def q_dedup_keep_first(sf_dir: str):
+    """Exact dedup keep-first: hash-partition by key, per-group first row.
+
+    Reference: DELETE self-join keeping the lowest id per duplicate URL
+    (SqlQueueTaskProvider.scala:73-77). Key here: (lang, source) over
+    documents; "first" = lowest doc_id.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def local_first(t: pa.Table) -> pa.Table:
+        # per-batch combiner: keep min doc_id per key before the shuffle
+        df = t.to_pandas()
+        idx = df.groupby(["lang", "source"], sort=False)["doc_id"].idxmin()
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False).replace_schema_metadata(None)
+
+    pre = ds.map_batches(local_first, **_PA)
+    return pre.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def q_anti_join_new_urls(sf_dir: str):
+    """Anti-join: customers with no finished ('F') order (pushTasks dedup analog).
+
+    Small side (distinct o_custkey) broadcast via ``ray.put``; probe side
+    filtered vectorized per batch — no shuffle.
+    """
+    seen = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"k": pc.unique(t["o_custkey"])})
+
+    seen_keys = np.unique(
+        np.concatenate([b["k"].to_numpy() for b in seen.map_batches(keys_of, **_PA).iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)])
+    )
+    ref = ray.put(seen_keys)
+
+    class AntiJoin:
+        def __init__(self):
+            self.seen = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = ~np.isin(t["c_custkey"].to_numpy(), self.seen)
+            return t.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(AntiJoin, concurrency=2, **_PA)
+
+
+def q_broadcast_config_join(sf_dir: str):
+    """Small-side broadcast join + grouped revenue (projects_url ⋈ projects analog)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    class JoinAgg:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys = np.fromiter(lk.keys(), np.int64)
+            self.vals = np.array(list(lk.values()), object)
+            order = np.argsort(self.keys)
+            self.keys, self.vals = self.keys[order], self.vals[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy()
+            brand = self.vals[np.searchsorted(self.keys, pk)]
+            # money has 2 decimals, discount 2 → product has 4: aggregate as
+            # scaled int64 so the sum is exact and summation-order-independent
+            rev4 = np.round(t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()) * 1e4).astype(np.int64)
+            df = pd.DataFrame({"p_brand": brand, "rev4": rev4})
+            g = df.groupby("p_brand", sort=False)["rev4"].agg(["sum", "count"]).reset_index()
+            return pa.table(
+                {"p_brand": g["p_brand"], "partial_rev4": g["sum"], "partial_n": g["count"].astype(np.int64)}
+            )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    partials = li.map_batches(JoinAgg, concurrency=2, **_PA)
+    agg = partials.groupby("p_brand").aggregate(
+        Sum("partial_rev4", alias_name="rev4"), Sum("partial_n", alias_name="n")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"p_brand": t["p_brand"], "revenue": pc.divide(pc.cast(t["rev4"], pa.float64()), 1e4), "n": t["n"]}
+        ),
+        **_PA,
+    )
+
+
+def q_topk_priority(sf_dir: str):
+    """Priority top-k: per-batch local top-k, then global sort+limit (§2.7)."""
+    k = 50
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("value", "descending"), ("event_id", "ascending")])
+        return t.take(order[:k])
+
+    return ds.map_batches(local_topk, **_PA).sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+
+def q_distinct_flags(sf_dir: str):
+    """Global distinct of a low-cardinality column (distinct-before-insert analog)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": pc.unique(t["l_returnflag"])})
+
+    return ds.map_batches(local_unique, **_PA).groupby("l_returnflag").aggregate(Count(alias_name="_n")).select_columns(["l_returnflag"])
+
+
+# --------------------------------------------------------------------------
+# Aggregation / window / session pipelines
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary — the wide-agg headline (partial-agg first)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        tax = t["l_tax"].to_numpy()
+        # fixed-decimal money → scaled int64 partial sums: exact, and
+        # independent of summation order (matches the SQL oracle bit-for-bit)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty2": np.round(t["l_quantity"].to_numpy() * 1e2).astype(np.int64),
+                "base2": np.round(price * 1e2).astype(np.int64),
+                "disc_price4": np.round(price * (1.0 - disc) * 1e4).astype(np.int64),
+                "charge6": np.round(price * (1.0 - disc) * (1.0 + tax) * 1e6).astype(np.int64),
+                "disc2": np.round(disc * 1e2).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            qty2=("qty2", "sum"),
+            base2=("base2", "sum"),
+            disc_price4=("disc_price4", "sum"),
+            charge6=("charge6", "sum"),
+            disc2=("disc2", "sum"),
+            count_order=("qty2", "size"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, **_PA)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty2", alias_name="qty2"),
+        Sum("base2", alias_name="base2"),
+        Sum("disc_price4", alias_name="disc_price4"),
+        Sum("charge6", alias_name="charge6"),
+        Sum("disc2", alias_name="disc2"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        f = lambda col, s: pc.divide(pc.cast(t[col], pa.float64()), s)  # noqa: E731
+        n = pc.cast(t["count_order"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": f("qty2", 1e2),
+                "sum_base_price": f("base2", 1e2),
+                "sum_disc_price": f("disc_price4", 1e4),
+                "sum_charge": f("charge6", 1e6),
+                "avg_qty": pc.divide(f("qty2", 1e2), n),
+                "avg_price": pc.divide(f("base2", 1e2), n),
+                "avg_disc": pc.divide(f("disc2", 1e2), n),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return out.map_batches(finalize, **_PA)
+
+
+def q_windowed_agg(sf_dir: str):
+    """Tumbling 1-hour window per user over the events stream (SURVEY.md §2.10:
+    the reference has no windows; this is the training-pipeline extension)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        v2 = np.round(t["value"].to_numpy() * 1e2).astype(np.int64)  # 2-decimal money → exact int sums
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(), "window_start": win.to_pandas(), "v2": v2})
+        g = df.groupby(["user_id", "window_start"], sort=False).agg(pn=("v2", "size"), pv2=("v2", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, **_PA)
+        .groupby(["user_id", "window_start"])
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("pv2", alias_name="v2"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "sum_value": pc.divide(pc.cast(t["v2"], pa.float64()), 1e2),
+            }
+        ),
+        **_PA,
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: groupby + sorted map_groups."""
+    gap = pd.Timedelta(minutes=30)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = new.cumsum().astype(np.int64)
+        g["v2"] = np.round(g["value"].to_numpy() * 1e2).astype(np.int64)
+        out = (
+            g.groupby("session_id")
+            .agg(n_events=("event_id", "size"), v2=("v2", "sum"), session_start=("ts", "min"))
+            .reset_index()
+        )
+        out["sum_value"] = out["v2"] / 1e2
+        out["user_id"] = g["user_id"].iloc[0]
+        return out[["user_id", "session_id", "session_start", "n_events", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_running_sum(sf_dir: str):
+    """Per-order running quantity — ordered windowed fold (window-function analog).
+
+    Scale note: a naive ``groupby(key).map_groups`` pays Python dispatch per
+    group (15k groups at sf0.01). Instead groups are hash-bucketed (64
+    buckets) and each bucket computes *all* its groups' running sums with one
+    vectorized pandas groupby-cumsum — same co-location guarantee, ~100x
+    fewer Python calls.
+    """
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(t["l_orderkey"].to_numpy() % 64, pa.int32()))
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["q2"] = np.round(g["l_quantity"].to_numpy() * 1e2).astype(np.int64)
+        # (l_orderkey, l_linenumber) is not unique in the synthetic data: break
+        # ties by quantity so fully-tied rows yield identical output multisets
+        g = g.sort_values(["l_orderkey", "l_linenumber", "q2"], kind="stable")
+        g["running_qty"] = g.groupby("l_orderkey")["q2"].cumsum() / 1e2
+        return g[["l_orderkey", "l_linenumber", "running_qty"]]
+
+    return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(run_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents)
+# --------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": T.ws_token_count(t["text"].to_pylist())})
+
+    return ds.map_batches(f, **_PA)
+
+
+def q_text_quality(sf_dir: str):
+    """Length/punct quality metrics per doc (SQL-checkable subset)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = np.array([len(x) for x in texts], np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_actual": n,
+                "punct_ratio": np.round(T.punct_ratio(texts), 6),
+            }
+        )
+
+    return ds.map_batches(f, **_PA)
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic per doc (non-SQL: rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class LangId:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"], "lang_pred": T.lang_id(t["text"].to_pylist())})
+
+    return ds.map_batches(LangId, concurrency=2, **_PA)
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowing fingerprints per doc (non-SQL: rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": T.doc_fingerprint(t["text"].to_pylist())})
+
+    return ds.map_batches(f, **_PA)
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (documents) — exact, minhash-LSH, simhash, n-gram jaccard
+# --------------------------------------------------------------------------
+
+
+def q_exact_text_dedup(sf_dir: str):
+    """Exact content dedup: text-hash partition, keep lowest doc_id per hash."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text_hash": hash64(t["text"])})
+
+    return (
+        ds.map_batches(add_hash, **_PA)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+class _MinHashStage:
+    """Actor-pool stage: shingle + MinHash signatures (MinHasher built once)."""
+
+    def __init__(self, num_perm: int = 128, num_bands: int = 16):
+        self.mh = T.MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, bands, keys = [], [], []
+        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = self.mh.signature(T.shingle_hashes(txt))
+            bk = self.mh.band_keys(sig, self.num_bands)
+            doc_ids.extend([doc_id] * self.num_bands)
+            bands.extend(range(self.num_bands))
+            keys.extend(bk.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys, pa.uint64()),
+            }
+        )
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates: shingle→minhash→band→bucket groupby.
+
+    Returns candidate pairs (doc_a < doc_b) that share ≥1 LSH band bucket.
+    Non-SQL (rows-only); exactness of the LSH machinery is unit-tested.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(_MinHashStage, concurrency=2, **_PA)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    # distinct pairs
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc (rows-only; near-dup = small hamming distance)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "simhash": T.simhash64(t["text"].to_pylist())})
+
+    return ds.map_batches(f, **_PA)
+
+
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """Blocked n-gram Jaccard near-dup: block by (lang, source), exact Jaccard
+    within block, emit pairs ≥ 0.5 (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        sh = [T.shingle_hashes(t) for t in g["text"]]
+        ids = g["doc_id"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = T.jaccard(sh[i], sh[j])
+                if jac >= 0.5:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(round(jac, 6))
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
+                             "doc_b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard_sim": pd.Series(out_j, dtype=np.float64)})
+
+    return ds.groupby(["lang", "source"]).map_groups(block_pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], 0).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), np.float64)
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k vs broadcast query vector (ANN baseline).
+
+    Per batch: one numpy matmul against the query; local top-k; global
+    sort+limit merges.
+    """
+    k = 10
+    q = _query_vector(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.array(t["embedding"].to_pylist(), np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1, norms)
+            out = pa.table({"vec_id": t["vec_id"], "cos_sim": np.round(sims, 6)})
+            order = pc.sort_indices(out, sort_keys=[("cos_sim", "descending"), ("vec_id", "ascending")])
+            return out.take(order[: k + 1])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scored = ds.map_batches(Score, concurrency=2, **_PA)
+    scored = scored.map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), **_PA)
+    return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs, blocked by label (sim ≥ 0.3)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        emb = np.array(g["embedding"].tolist(), np.float64)[order]
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(norms == 0, 1, norms)
+        sims = emb @ emb.T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= 0.3
+        return pd.DataFrame({
+            "vec_a": pd.Series(ids[a[keep]], dtype=np.int64),
+            "vec_b": pd.Series(ids[b[keep]], dtype=np.int64),
+            "cos_sim": pd.Series(np.round(sims[a[keep], b[keep]], 6), dtype=np.float64),
+        })
+
+    return ds.groupby("label").map_groups(block, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "frontier_pull_batch": q_frontier_pull_batch,
+    "status_counts": q_status_counts,
+    "retry_split": q_retry_split,
+    "dedup_keep_first": q_dedup_keep_first,
+    "anti_join_new_urls": q_anti_join_new_urls,
+    "broadcast_config_join": q_broadcast_config_join,
+    "topk_priority": q_topk_priority,
+    "distinct_flags": q_distinct_flags,
+    "pricing_summary": q_pricing_summary,
+    "windowed_agg": q_windowed_agg,
+    "sessionize": q_sessionize,
+    "running_sum": q_running_sum,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "exact_text_dedup": q_exact_text_dedup,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "frontier_pull_batch": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey LIMIT 100
+    """,
+    "status_counts": """
+        SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY o_orderstatus
+    """,
+    "retry_split": """
+        SELECT event_id,
+               CASE WHEN (event_id % 5) + 1 >= 3 THEN 'failed' ELSE 'wait' END AS next_status
+        FROM events
+    """,
+    "dedup_keep_first": """
+        SELECT lang, source, min(doc_id) AS doc_id FROM documents GROUP BY lang, source
+    """,
+    "anti_join_new_urls": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "broadcast_config_join": """
+        SELECT p_brand,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "topk_priority": """
+        SELECT event_id, user_id, value FROM events
+        ORDER BY value DESC, event_id LIMIT 50
+    """,
+    "distinct_flags": """
+        SELECT DISTINCT l_returnflag FROM lineitem
+    """,
+    "pricing_summary": """
+        WITH scaled AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS base2,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS disc_price4,
+                   CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT) AS charge6,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc2
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        )
+        SELECT l_returnflag, l_linestatus,
+               sum(qty2) / 100.0 AS sum_qty,
+               sum(base2) / 100.0 AS sum_base_price,
+               sum(disc_price4) / 10000.0 AS sum_disc_price,
+               sum(charge6) / 1000000.0 AS sum_charge,
+               (sum(qty2) / 100.0) / count(*) AS avg_qty,
+               (sum(base2) / 100.0) / count(*) AS avg_price,
+               (sum(disc2) / 100.0) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM scaled
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "windowed_agg": """
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "running_sum": """
+        SELECT l_orderkey, l_linenumber,
+               sum(CAST(round(l_quantity * 100) AS BIGINT))
+                   OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, CAST(round(l_quantity * 100) AS BIGINT)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_qty
+        FROM lineitem
+    """,
+    "token_count": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                     / CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END, 6) AS punct_ratio
+        FROM documents
+    """,
+    "exact_text_dedup": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "embedding_topk": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+        FROM embeddings e
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+}
+
+
+def flagship(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship non-crawl pipeline: doc quality + exact dedup + token stats."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_hash": hash64(t["text"]),
+                "n_tokens": T.ws_token_count(texts),
+                "quality": np.round(T.quality_score(texts), 6),
+                "lang_pred": T.lang_id(texts),
+            }
+        )
+
+    scored = ds.map_batches(score, **_PA)
+    return (
+        scored.groupby("text_hash")
+        .map_groups(lambda g: g.nsmallest(1, "doc_id"), batch_format="pandas")
+        .select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+    )
