@@ -27,11 +27,16 @@ _M2 = _U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain constants)."""
-    z = (x + _GOLDEN).astype(_U64)
-    z = (z ^ (z >> _U64(30))) * _M1
-    z = (z ^ (z >> _U64(27))) * _M2
-    return z ^ (z >> _U64(31))
+    """Vectorized splitmix64 finalizer (public-domain constants).
+
+    uint64 wraparound is the point — suppress numpy's scalar-overflow warning
+    (arrays wrap silently; 0-d/scalar inputs would warn).
+    """
+    with np.errstate(over="ignore"):
+        z = (x + _GOLDEN).astype(_U64)
+        z = (z ^ (z >> _U64(30))) * _M1
+        z = (z ^ (z >> _U64(27))) * _M2
+        return z ^ (z >> _U64(31))
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:

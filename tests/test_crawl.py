@@ -1,0 +1,117 @@
+"""Conformance gates: distributed engine vs single-process oracle simulator.
+
+SURVEY.md §5 engine test plan items 3 (conformance: identical final URL-seen
+set + crawl order), 4 (per-row image invariant: decoded-pixel exactness /
+PSNR≥40dB + caption equality) and 5 (kill/resume → identical tables).
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from cloud_crawler_ray.functions.imaging import decode_image, psnr, synth_image
+from cloud_crawler_ray.pipelines import oracle, synthweb as sw
+from cloud_crawler_ray.pipelines import semantics as sem
+
+CFG = sw.WebConfig(n_hosts=10, pages_per_host=100, n_seed_hosts=5)
+P, S, K, WAVES = 4, 2, 25, 4
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    return oracle.run_oracle(CFG, num_partitions=P, wave_cap_per_partition=K, max_waves=WAVES)
+
+
+@pytest.fixture(scope="module")
+def engine_result(ray_session, tmp_path_factory):
+    from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+    root = str(tmp_path_factory.mktemp("crawl") / "engine")
+    eng = CrawlEngine.start(root, CFG, num_partitions=P, num_shards=S, wave_cap_per_partition=K, fetch_buckets=4)
+    eng.run(max_waves=WAVES)
+    yield eng
+    eng.shutdown_shards()
+
+
+def _sorted_frontier(t):
+    return t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending")]))
+
+
+class TestConformance:
+    def test_seen_set_identical(self, engine_result, oracle_result):
+        eng_seen = np.sort(engine_result.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy())
+        assert np.array_equal(eng_seen, oracle_result.seen)
+
+    def test_frontier_rows_identical(self, engine_result, oracle_result):
+        ef = _sorted_frontier(engine_result.frontier.to_arrow())
+        of = oracle_result.frontier
+        assert ef.num_rows == of.num_rows
+        for col in ["url", "host", "depth", "status", "attempt", "discovered_at", "parent_hash", "link_index", "partition_id"]:
+            assert np.array_equal(ef[col].to_numpy(zero_copy_only=False), of[col].to_numpy(zero_copy_only=False)), col
+
+    def test_crawl_order_identical(self, engine_result, oracle_result):
+        eo = engine_result.crawl_order()
+        oo = oracle_result.order
+        assert eo.num_rows == oo.num_rows
+        for col in ["fetch_seq", "wave", "vtime", "url_hash", "host"]:
+            assert np.array_equal(eo[col].to_numpy(zero_copy_only=False), oo[col].to_numpy(zero_copy_only=False)), col
+
+    def test_all_outcome_classes_exercised(self, oracle_result):
+        statuses = set(oracle_result.frontier["status"].to_pylist())
+        assert {sem.DONE, sem.SKIPPED} <= statuses  # richer classes need bigger graphs
+
+
+class TestImageInvariant:
+    def test_images_match_oracle(self, engine_result, oracle_result):
+        ei = engine_result.images.to_arrow()
+        ei = ei.take(pc.sort_indices(ei, sort_keys=[("image_id", "ascending")]))
+        oi = oracle_result.images
+        assert ei.num_rows == oi.num_rows
+        for col in ["image_id", "caption", "w", "h", "fmt", "phash"]:
+            assert np.array_equal(ei[col].to_numpy(zero_copy_only=False), oi[col].to_numpy(zero_copy_only=False)), col
+        assert ei["bytes"].to_pylist() == oi["bytes"].to_pylist()
+
+    def test_decoded_pixel_invariant(self, engine_result):
+        """Per-row invariant (input_hint): lossless → exact, lossy → PSNR≥40dB."""
+        t = engine_result.images.to_arrow()
+        n_lossy = 0
+        for i in range(min(t.num_rows, 60)):
+            row = {c: t[c][i].as_py() for c in ("image_id", "bytes", "w", "h", "fmt")}
+            uh = int(row["image_id"], 16)
+            p = sw.image_payload(uh, CFG)
+            truth_src = sw._mix(uh, 3, CFG.seed)
+            dec = decode_image(row["bytes"], row["w"], row["h"], row["fmt"])
+            ref = synth_image(int(truth_src) >> 24, row["w"], row["h"])
+            if row["fmt"] in ("raw", "png"):
+                assert np.array_equal(dec, ref), row["image_id"]
+            else:
+                n_lossy += 1
+                assert psnr(ref, dec) >= 40.0, row["image_id"]
+        assert n_lossy > 0  # the PSNR path was actually exercised
+
+
+class TestResume:
+    def test_kill_restart_identical_tables(self, ray_session, oracle_result, tmp_path_factory):
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+        root = str(tmp_path_factory.mktemp("crawl") / "resumed")
+        eng1 = CrawlEngine.start(root, CFG, num_partitions=P, num_shards=S, wave_cap_per_partition=K, fetch_buckets=4)
+        eng1.run(max_waves=2)  # "crash" after wave 1's commit
+        eng1.shutdown_shards()
+
+        eng2 = CrawlEngine.resume(root)
+        assert eng2.frontier.latest_wave() == 1
+        eng2.run(max_waves=WAVES)
+        try:
+            ef = _sorted_frontier(eng2.frontier.to_arrow())
+            of = oracle_result.frontier
+            assert ef.num_rows == of.num_rows
+            for col in ["status", "attempt", "discovered_at", "parent_hash"]:
+                assert np.array_equal(ef[col].to_numpy(), of[col].to_numpy()), col
+            eo = eng2.crawl_order()
+            assert np.array_equal(eo["url_hash"].to_numpy(), oracle_result.order["url_hash"].to_numpy())
+            assert eng2.images.count_rows() == oracle_result.images.num_rows
+        finally:
+            eng2.shutdown_shards()
