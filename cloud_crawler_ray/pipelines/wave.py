@@ -41,7 +41,7 @@ from ..functions.hashing import hash64
 from ..functions.urls import canonicalize, extract_host, host_partition
 from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
 from ..sources.lancelike import LanceLikeTable
-from ..stages.crawl import DecodeStage, DedupRouter, DedupShard, FetchStage, extract_candidates
+from ..stages.crawl import DecodeStage, DedupShard, SelectAndFetch, ShardDedupGroup, extract_candidates
 from . import semantics as sem
 from . import synthweb as sw
 
@@ -69,6 +69,143 @@ ORDER_SCHEMA = pa.schema(
         ("partition_id", pa.int32()),
     ]
 )
+
+
+# tagged-union row kinds for the fused per-partition commit stage
+KIND_IMAGE, KIND_ORDER, KIND_UPDATE, KIND_NEW = 0, 1, 2, 3
+
+# superset schema all four branches are padded to before the union
+SUPER_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.float32()),
+        ("status", pa.int8()),
+        ("attempt", pa.int32()),
+        ("discovered_at", pa.int32()),
+        ("parent_hash", pa.uint64()),
+        ("link_index", pa.int32()),
+        ("partition_id", pa.int32()),
+        ("vtime", pa.int64()),
+        ("wave", pa.int32()),
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+_SUPER_DEFAULTS = {
+    pa.string(): "",
+    pa.binary(): b"",
+}
+
+
+def _pad_super(t: pa.Table, kind: int, wave: int) -> pa.Table:
+    """Project a branch's batch onto SUPER_SCHEMA (missing cols → defaults)."""
+    n = t.num_rows
+    cols = {}
+    for f in SUPER_SCHEMA:
+        if f.name == "kind":
+            cols["kind"] = pa.array(np.full(n, kind, np.int8), pa.int8())
+        elif f.name == "wave":
+            cols["wave"] = pa.array(np.full(n, wave, np.int32), pa.int32())
+        elif f.name == "discovered_at" and kind == KIND_NEW:
+            cols["discovered_at"] = pa.array(np.full(n, wave + 1, np.int32), pa.int32())
+        elif f.name in t.column_names:
+            cols[f.name] = t[f.name].cast(f.type)
+        else:
+            default = _SUPER_DEFAULTS.get(f.type)
+            if default is not None:
+                cols[f.name] = pa.array([default] * n, f.type)
+            else:
+                cols[f.name] = pa.array(np.zeros(n, np.int64), pa.int64()).cast(f.type)
+    return pa.table(cols).select([f.name for f in SUPER_SCHEMA])
+
+
+class CommitPartition:
+    """Fused per-partition wave commit: image fragment + order fragment +
+    frontier partition version, written by the partition's one group task.
+
+    Fragment/version names are deterministic (wave, pid) so a re-run of a
+    failed wave rewrites identical files — combined with manifest-last
+    commits this makes waves idempotent (the lease-recovery analog)."""
+
+    def __init__(self, frontier_path: str, images_path: str, order_path: str, num_partitions: int, wave: int, part_files: dict):
+        self.frontier_path = frontier_path
+        self.images_path = images_path
+        self.order_path = order_path
+        self.P = num_partitions
+        self.wave = wave
+        self.part_files = part_files
+        self.__name__ = f"CommitPartition(w{wave})"
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        wave = self.wave
+        pid = g["partition_id"][0].as_py()
+        kind = g["kind"].to_numpy()
+        name = f"w{wave:05d}-p{pid:04d}"
+
+        img = g.filter(pa.array(kind == KIND_IMAGE))
+        img_rel = ""
+        if img.num_rows:
+            t = img.select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
+            t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+            img_rel = LanceLikeTable(self.images_path).write_fragment(t, name=name)
+
+        order = g.filter(pa.array(kind == KIND_ORDER))
+        order_rel = ""
+        if order.num_rows:
+            t = order.select([f.name for f in ORDER_SCHEMA]).cast(ORDER_SCHEMA)
+            t = t.take(pc.sort_indices(t, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
+            order_rel = LanceLikeTable(self.order_path).write_fragment(t, name=name)
+
+        upd = g.filter(pa.array(kind == KIND_UPDATE))
+        new = g.filter(pa.array(kind == KIND_NEW))
+        front_rel = ""
+        n_new = 0
+        if upd.num_rows or new.num_rows:
+            store = FrontierStore(self.frontier_path, self.P)
+            old = pq.read_table(self.part_files[pid])
+            uh = old["url_hash"].to_numpy().astype(np.uint64)
+            status = old["status"].to_numpy().copy()
+            attempt = old["attempt"].to_numpy().copy()
+            if upd.num_rows:
+                order_idx = np.argsort(uh, kind="stable")
+                pos = order_idx[np.searchsorted(uh[order_idx], upd["url_hash"].to_numpy().astype(np.uint64))]
+                status[pos] = upd["status"].to_numpy()
+                attempt[pos] = upd["attempt"].to_numpy()
+            cols = {nm: old[nm] for nm in old.column_names}
+            cols["status"] = pa.array(status, pa.int8())
+            cols["attempt"] = pa.array(attempt, pa.int32())
+            out = pa.table(cols)
+            if new.num_rows:
+                mask = ~np.isin(new["url_hash"].to_numpy().astype(np.uint64), uh)  # defensive anti-join
+                new = new.filter(pa.array(mask))
+            n_new = new.num_rows
+            if n_new:
+                nt = new.select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
+                nt = nt.take(pc.sort_indices(nt, sort_keys=[("url_hash", "ascending")]))
+                out = pa.concat_tables([out, nt]).cast(FRONTIER_SCHEMA)
+            front_rel = store.write_partition(pid, out, wave)
+
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int32()),
+                "img_rel": pa.array([img_rel], pa.string()),
+                "order_rel": pa.array([order_rel], pa.string()),
+                "front_rel": pa.array([front_rel], pa.string()),
+                "img_rows": pa.array([img.num_rows], pa.int64()),
+                "order_rows": pa.array([order.num_rows], pa.int64()),
+                "n_new": pa.array([n_new], pa.int64()),
+            }
+        )
 
 
 class CrawlEngine:
@@ -185,36 +322,45 @@ class CrawlEngine:
             metrics.append(m)
         return {"waves_run": len(metrics), "metrics": metrics}
 
+    def _tuned_context(self):
+        """Scale Ray Data's shuffle/read parallelism to the wave's real size.
+
+        The defaults (min_parallelism=200, read_op_min_num_blocks=200) spawn
+        hundreds of empty reduce tasks for wave-sized exchanges; a wave's
+        natural parallelism is the partition count.
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def tune():
+            ctx = rd.DataContext.get_current()
+            saved = (ctx.min_parallelism, ctx.read_op_min_num_blocks)
+            ctx.min_parallelism = max(self.P, 2 * self.S)
+            ctx.read_op_min_num_blocks = self.P
+            try:
+                yield
+            finally:
+                ctx.min_parallelism, ctx.read_op_min_num_blocks = saved
+
+        return tune()
+
     def run_wave(self, wave: int) -> dict | None:
+        with self._tuned_context():
+            return self._run_wave_inner(wave)
+
+    def _run_wave_inner(self, wave: int) -> dict | None:
         cfg, P = self.cfg, self.P
         shards = self._ensure_shards()
-        files = sorted(self.frontier.partition_files().values())
+        part_files = self.frontier.partition_files()
 
-        # ---- selection: filter at the read, per-partition top-k
-        elig = rd.read_parquet(
-            files,
-            columns=["url", "url_hash", "host", "depth", "priority", "attempt", "discovered_at", "partition_id"],
-            filter=(pc.field("status") == sem.WAIT) & (pc.field("attempt") < cfg.max_attempts),
-        )
-        k = self.K
-
-        def select_topk(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["priority", "url_hash"], kind="stable")
-            return g.head(k)
-
-        selected = elig.groupby("partition_id").map_groups(select_topk, batch_format="pandas")
-
-        # ---- fetch: host-buckets so each host's politeness bucket is local
-        fetch_seed = cfg.seed ^ 0xFE7C
-        B = self.B
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            return t.append_column("fetch_bucket", pa.array(host_partition(t["host"], B, seed=fetch_seed), pa.int32()))
-
+        # ---- fused per-partition claim + fetch: one task per partition file,
+        # no shuffle (partition ownership replaces the reference's global
+        # claim lock). The partition manifest is the input dataset.
+        parts_ds = rd.from_items(
+            [{"pid": pid, "path": path} for pid, path in sorted(part_files.items())]
+        ).repartition(len(part_files))
         fetched = (
-            selected.map_batches(add_bucket, **_PA)
-            .groupby("fetch_bucket")
-            .map_groups(FetchStage(cfg, wave), batch_format="pandas")
+            parts_ds.map_batches(SelectAndFetch(cfg, wave, self.K), batch_size=1, **_PA)
             .materialize()  # wave-sized working set, reused by 3 consumers
         )
         n_selected = fetched.count()
@@ -223,166 +369,64 @@ class CrawlEngine:
 
         done = fetched.map_batches(lambda t: t.filter(pc.equal(t["status"], sem.DONE)), **_PA)
 
-        # ---- images: decode+phash actor pool, fragments per partition
-        images_root = self.images.path
-
-        def write_image_frag(g: pd.DataFrame) -> pd.DataFrame:
-            pid = int(g["partition_id"].iloc[0])
-            t = pa.Table.from_pandas(g, preserve_index=False).select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
-            t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
-            rel = LanceLikeTable(images_root).write_fragment(t, name=f"w{wave:05d}-p{pid:04d}")
-            return pd.DataFrame({"pid": [pid], "rel": [rel], "rows": [len(g)]})
-
-        img_frags = (
-            done.map_batches(
-                DecodeStage(cfg),
-                batch_size=self.decode_batch_size,
-                concurrency=self.decode_concurrency,
-                **_PA,
-            )
-            .groupby("partition_id")
-            .map_groups(write_image_frag, batch_format="pandas")
-            .to_pandas()
-        )
-        if len(img_frags):
-            self.images.commit(list(img_frags["rel"]), meta={"wave": wave})
-
-        # ---- crawl-order log: one fragment per wave per partition
-        order_root = self.order.path
-
-        def write_order_frag(g: pd.DataFrame) -> pd.DataFrame:
-            pid = int(g["partition_id"].iloc[0])
-            t = pa.Table.from_pandas(g, preserve_index=False).select([f.name for f in ORDER_SCHEMA]).cast(ORDER_SCHEMA)
-            t = t.take(pc.sort_indices(t, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
-            rel = LanceLikeTable(order_root).write_fragment(t, name=f"w{wave:05d}-p{pid:04d}")
-            return pd.DataFrame({"pid": [pid], "rel": [rel], "rows": [len(g)]})
+        # ---- everything downstream of fetch is ONE execution graph:
+        #   decode(images) ─┐
+        #   order rows     ─┤
+        #   status updates ─┼─ union → groupby(partition_id) → CommitPartition
+        #   candidates → groupby(shard) → dedup → new rows ─┘
+        # Two internal shuffles total (shard exchange + partition exchange);
+        # both move wave-sized data only.
+        S = self.S
+        images_rows = done.map_batches(
+            DecodeStage(cfg),
+            batch_size=self.decode_batch_size,
+            **({"concurrency": self.decode_concurrency} if self.decode_concurrency else {}),
+            **_PA,
+        ).map_batches(lambda t: _pad_super(t, KIND_IMAGE, wave), **_PA)
 
         def keep_fetched(t: pa.Table) -> pa.Table:
-            t = t.filter(t["fetched"])
-            return t.append_column("wave", pa.array(np.full(t.num_rows, wave, np.int32), pa.int32()))
+            return _pad_super(t.filter(t["fetched"]), KIND_ORDER, wave)
 
-        order_frags = (
-            fetched.map_batches(keep_fetched, **_PA)
-            .groupby("partition_id")
-            .map_groups(write_order_frag, batch_format="pandas")
-            .to_pandas()
-        )
-        if len(order_frags):
-            self.order.commit(list(order_frags["rel"]), meta={"wave": wave})
-        n_fetched = int(order_frags["rows"].sum()) if len(order_frags) else 0
+        order_rows = fetched.map_batches(keep_fetched, **_PA)
+        update_rows = fetched.map_batches(lambda t: _pad_super(t, KIND_UPDATE, wave), **_PA)
 
-        # ---- out-links → candidates → within-wave dedup → sharded dedup
         cands = done.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
-
-        def wave_dedup(g: pd.DataFrame) -> pd.DataFrame:
-            # rule §4.3(c): first discovery within the wave = min (parent_hash, link_index)
-            g = g.sort_values(["url_hash", "parent_hash", "link_index"], kind="stable")
-            return g.drop_duplicates("url_hash", keep="first")
-
-        deduped = (
+        new_rows = (
             cands.map_batches(
                 lambda t: t.append_column(
-                    "dedup_bucket", pa.array((t["url_hash"].to_numpy() % np.uint64(64)).astype(np.int32), pa.int32())
+                    "shard", pa.array((t["url_hash"].to_numpy() % np.uint64(S)).astype(np.int32), pa.int32())
                 ),
                 **_PA,
             )
-            .groupby("dedup_bucket")
-            .map_groups(wave_dedup, batch_format="pandas")
-            .drop_columns(["dedup_bucket"])
+            .groupby("shard")
+            .map_groups(ShardDedupGroup(shards), batch_format="pandas")
+            .map_batches(lambda t: _pad_super(t.drop_columns(["shard"]), KIND_NEW, wave), **_PA)
         )
-        fresh = deduped.map_batches(DedupRouter(shards), **_PA)
 
-        def as_frontier_rows(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "url": t["url"],
-                    "url_hash": t["url_hash"],
-                    "host": t["host"],
-                    "depth": t["depth"],
-                    "priority": t["priority"],
-                    "status": pa.array(np.full(n, sem.WAIT, np.int8), pa.int8()),
-                    "attempt": pa.array(np.zeros(n, np.int32), pa.int32()),
-                    "discovered_at": pa.array(np.full(n, wave + 1, np.int32), pa.int32()),
-                    "parent_hash": t["parent_hash"],
-                    "link_index": t["link_index"],
-                    "partition_id": t["partition_id"],
-                    "is_new": pa.array(np.ones(n, bool), pa.bool_()),
-                }
-            )
-
-        new_rows = fresh.map_batches(as_frontier_rows, **_PA)
-
-        # ---- frontier partition update (status columns + inserts)
-        def as_update_rows(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            z64 = pa.array(np.zeros(n, np.uint64), pa.uint64())
-            return pa.table(
-                {
-                    "url": pa.array([""] * n, pa.string()),
-                    "url_hash": t["url_hash"],
-                    "host": t["host"],
-                    "depth": t["depth"],
-                    "priority": pa.array(np.zeros(n, np.float32), pa.float32()),
-                    "status": t["status"],
-                    "attempt": t["attempt"],
-                    "discovered_at": pa.array(np.zeros(n, np.int32), pa.int32()),
-                    "parent_hash": z64,
-                    "link_index": pa.array(np.zeros(n, np.int32), pa.int32()),
-                    "partition_id": t["partition_id"],
-                    "is_new": pa.array(np.zeros(n, bool), pa.bool_()),
-                }
-            )
-
-        updates = fetched.map_batches(as_update_rows, **_PA)
-        part_files = self.frontier.partition_files()
-        frontier_path = self.frontier.path
-        num_partitions = self.P
-
-        def update_partition(g: pd.DataFrame) -> pd.DataFrame:
-            pid = int(g["partition_id"].iloc[0])
-            store = FrontierStore(frontier_path, num_partitions)
-            old = pq.read_table(part_files[pid])
-            uh = old["url_hash"].to_numpy().astype(np.uint64)
-            status = old["status"].to_numpy().copy()
-            attempt = old["attempt"].to_numpy().copy()
-            upd = g[~g["is_new"]]
-            if len(upd):
-                order = np.argsort(uh, kind="stable")
-                pos = order[np.searchsorted(uh[order], upd["url_hash"].to_numpy().astype(np.uint64))]
-                status[pos] = upd["status"].to_numpy()
-                attempt[pos] = upd["attempt"].to_numpy()
-            cols = {name: old[name] for name in old.column_names}
-            cols["status"] = pa.array(status, pa.int8())
-            cols["attempt"] = pa.array(attempt, pa.int32())
-            out = pa.table(cols)
-            new = g[g["is_new"]]
-            if len(new):
-                mask = ~np.isin(new["url_hash"].to_numpy().astype(np.uint64), uh)  # defensive anti-join
-                new = new[mask]
-            if len(new):
-                nt = pa.Table.from_pandas(new.drop(columns=["is_new"]), preserve_index=False).cast(FRONTIER_SCHEMA)
-                nt = nt.take(pc.sort_indices(nt, sort_keys=[("url_hash", "ascending")]))
-                out = pa.concat_tables([out, nt]).cast(FRONTIER_SCHEMA)
-            rel = store.write_partition(pid, out, wave)
-            return pd.DataFrame({"pid": [pid], "rel": [rel], "n_new": [int(len(new))], "rows": [out.num_rows]})
-
-        upd_res = (
-            updates.union(new_rows)
+        committer = CommitPartition(
+            self.frontier.path, self.images.path, self.order.path, self.P, wave, self.frontier.partition_files()
+        )
+        res = (
+            images_rows.union(order_rows)
+            .union(update_rows)
+            .union(new_rows)
             .groupby("partition_id")
-            .map_groups(update_partition, batch_format="pandas")
+            .map_groups(committer, batch_format="pyarrow")
             .to_pandas()
         )
 
-        # ---- wave commit (manifest-last)
+        # ---- wave commits (frontier manifest last = the wave commit point)
+        self.images.commit([r for r in res["img_rel"] if r], meta={"wave": wave})
+        self.order.commit([r for r in res["order_rel"] if r], meta={"wave": wave})
         merged = {int(k): v for k, v in self.frontier.manifest()["partitions"].items()}
-        for _, r in upd_res.iterrows():
-            merged[int(r["pid"])] = r["rel"]
+        for _, r in res.iterrows():
+            if r["front_rel"]:
+                merged[int(r["pid"])] = r["front_rel"]
         meta = {
             "selected": int(n_selected),
-            "fetched": int(n_fetched),
-            "done": int(img_frags["rows"].sum()) if len(img_frags) else 0,
-            "new": int(upd_res["n_new"].sum()),
+            "fetched": int(res["order_rows"].sum()),
+            "done": int(res["img_rows"].sum()),
+            "new": int(res["n_new"].sum()),
         }
         self.frontier.commit(wave, merged, meta)
         return {"wave": wave, **meta}

@@ -91,6 +91,73 @@ class FetchStage:
         return pa.concat_tables(out) if out else pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
 
 
+class SelectAndFetch:
+    """Fused per-partition claim + fetch (one task per frontier partition).
+
+    The reference's transactional claim (pullAndUpdateStatus under a global
+    lock, QueueTaskServiceImpl.scala:57-66) becomes partition ownership: one
+    task owns one hostname-hash partition, reads only its file (pruned
+    columns + WAIT/attempt filter), takes the top-k by (priority, url_hash)
+    [rule (a)] and runs the politeness-ordered host fetches locally — no
+    shuffle, no lock, and all of a host's token-bucket grants computed in
+    one place (SURVEY.md §4.5). Input batch: rows of {pid, path} from the
+    wave manifest.
+    """
+
+    def __init__(self, cfg: sw.WebConfig, wave: int, k: int):
+        self.cfg = cfg
+        self.wave = wave
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cfg, wave = self.cfg, self.wave
+        out: list[pa.Table] = []
+        for path in t["path"].to_pylist():
+            part = pq.read_table(
+                path,
+                columns=["url", "url_hash", "host", "depth", "priority", "status", "attempt", "discovered_at", "partition_id"],
+                filters=[("status", "=", sem.WAIT), ("attempt", "<", cfg.max_attempts)],
+            )
+            if part.num_rows == 0:
+                continue
+            sel = sem.select_wave_indices(
+                part["priority"].to_numpy(),
+                part["url_hash"].to_numpy().astype(np.uint64),
+                part["status"].to_numpy(),
+                part["attempt"].to_numpy(),
+                self.k,
+                cfg.max_attempts,
+            )
+            if len(sel) == 0:
+                continue
+            g = part.take(pa.array(sel)).to_pandas()
+            for host, hrows in g.groupby("host", sort=True):
+                hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
+                uh = hrows["url_hash"].to_numpy().astype(np.uint64)
+                res = sem.fetch_host_wave(str(host), wave, hrows["url"].tolist(), uh, hrows["attempt"].to_numpy(), cfg)
+                out.append(
+                    pa.table(
+                        {
+                            "url": pa.array(hrows["url"].tolist(), pa.string()),
+                            "url_hash": pa.array(uh, pa.uint64()),
+                            "host": pa.array([str(host)] * len(hrows), pa.string()),
+                            "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
+                            "partition_id": pa.array(hrows["partition_id"].to_numpy(), pa.int32()),
+                            "status": pa.array(res.status, pa.int8()),
+                            "attempt": pa.array(res.attempt, pa.int32()),
+                            "vtime": pa.array(res.vtime, pa.int64()),
+                            "fetched": pa.array(res.fetched, pa.bool_()),
+                            "links": pa.array(res.links, pa.list_(pa.string())),
+                        }
+                    )
+                )
+        if not out:
+            return pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
+        return pa.concat_tables(out)
+
+
 class DecodeStage:
     """Image decode + phash over DONE rows (actor-pool ``map_batches``).
 
@@ -228,6 +295,24 @@ class DedupShard:
             "bloom_count": self.bloom.count,
             "cuckoo_load": self.cuckoo.load_factor(),
         }
+
+
+class ShardDedupGroup:
+    """Fused ``map_groups`` body for one dedup shard: within-wave keep-first
+    (rule §4.3(c): min (parent_hash, link_index) per child url_hash) then a
+    single round-trip to the shard's actor for the cross-wave check — one
+    groupby replaces two shuffle stages."""
+
+    def __init__(self, shard_handles: list):
+        self.shards = shard_handles
+        self.__name__ = "ShardDedupGroup"
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url_hash", "parent_hash", "link_index"], kind="stable")
+        g = g.drop_duplicates("url_hash", keep="first")
+        sid = int(g["shard"].iloc[0])
+        new = ray.get(self.shards[sid].check_and_add.remote(g["url_hash"].to_numpy().astype(np.uint64)))
+        return g[new]
 
 
 class DedupRouter:
