@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Headline: the crawl engine — sustained fetch+dedup throughput (URLs/s) on a
+synthetic frontier sized by the input scale factor, plus the query-layer
+pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Modes:
+    python bench.py              one full run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    the same crawl at num_cpus=8 and 32 in
+                                 fresh processes → throughputs + efficiency
+                                 (the sandbox proxy for N vs 4N clusters)
+
+This script OWNS its Ray session (init/shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# crawl benchmark shape: waves big enough that decode/fetch compute
+# dominates per-wave pipeline overhead (the regime a real cluster runs in):
+# ~30k seeds, wave cap 96k URLs, 64-128px images (~3 ms decode+phash each)
+CRAWL = dict(
+    n_hosts=2000,
+    pages_per_host=400,
+    n_seed_hosts=2000,
+    seeds_per_host=15,
+    max_links=8,
+    img_min=64,
+    img_max=128,
+    num_partitions=64,
+    num_shards=8,
+    wave_cap_per_partition=2000,
+    max_waves=3,
+)
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "dedup_keep_first",
+    "broadcast_config_join",
+    "topk_priority",
+    "windowed_agg",
+    "sessionize",
+    "running_sum",
+    "exact_text_dedup",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+]
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from cloud_crawler_ray.pipelines import synthweb as sw
+    from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+    cfg = sw.WebConfig(
+        n_hosts=CRAWL["n_hosts"],
+        pages_per_host=CRAWL["pages_per_host"],
+        n_seed_hosts=CRAWL["n_seed_hosts"],
+        seeds_per_host=CRAWL["seeds_per_host"],
+        max_links=CRAWL["max_links"],
+        img_min=CRAWL["img_min"],
+        img_max=CRAWL["img_max"],
+    )
+    root = f"/tmp/graft_bench_crawl_{num_cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine.start(
+        root,
+        cfg,
+        num_partitions=CRAWL["num_partitions"],
+        num_shards=CRAWL["num_shards"],
+        wave_cap_per_partition=CRAWL["wave_cap_per_partition"],
+        decode_batch_size=192,
+    )
+    t0 = time.time()
+    r = eng.run(max_waves=CRAWL["max_waves"])
+    elapsed = time.time() - t0
+    fetched = sum(m["fetched"] for m in r["metrics"])
+    done = sum(m["done"] for m in r["metrics"])
+    new = sum(m["new"] for m in r["metrics"])
+    eng.shutdown_shards()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "sec": round(elapsed, 2),
+        "fetched": fetched,
+        "done": done,
+        "dedup_candidates": new,
+        "urls_per_sec": round(fetched / elapsed, 1),
+        "waves": r["waves_run"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from cloud_crawler_ray import queries as q
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = q.QUERIES[name](sf_dir)
+        # consume the stream
+        if isinstance(res, rd.Dataset):
+            res.count()
+        elif isinstance(res, pa.Table):
+            res.num_rows
+        else:
+            len(res)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def full_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        # warm the page cache so we measure compute + shuffle, not cold disk
+        import pyarrow.parquet as pq
+
+        for t in ("lineitem", "orders", "documents", "events", "embeddings", "part", "customer"):
+            pq.read_table(f"{SF_DIR}/{t}.parquet")
+        crawl = run_crawl(NUM_CPUS)
+        queries = run_queries(SF_DIR)
+        total = crawl["sec"] + sum(queries.values())
+        return {
+            "metric": "crawl+query wall time (headline: crawl URLs/s)",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": queries,
+            "crawl": crawl,
+            "urls_per_sec": crawl["urls_per_sec"],
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "num_cpus": NUM_CPUS,
+        }
+    finally:
+        ray.shutdown()
+
+
+def scaling_run() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tp_lo = r_lo["crawl"]["urls_per_sec"]
+    tp_hi = r_hi["crawl"]["urls_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "crawl throughput scaling efficiency (8 vs 32 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "urls_per_sec_8": tp_lo,
+        "urls_per_sec_32": tp_hi,
+        "sec_8": r_lo["crawl"]["sec"],
+        "sec_32": r_hi["crawl"]["sec"],
+        "fetched": r_hi["crawl"]["fetched"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    result = scaling_run() if "--scaling" in sys.argv else full_run()
+    print(json.dumps(result))

@@ -55,6 +55,9 @@ class WebConfig:
     circuit_break_after: int = 3
     robots_modulus: int = 13  # pages with page_id % modulus == r(host) are disallowed
     hot_hosts: tuple = ()  # hosts given pages_per_host * 8 pages (skew testing)
+    seeds_per_host: int = 1  # seed pages 0..N-1 of each seed host
+    img_min: int = 16  # image side lengths drawn from [img_min, img_max]
+    img_max: int = 64
 
     def host_name(self, i: int) -> str:
         return f"host{i:03d}.example"
@@ -69,7 +72,11 @@ class WebConfig:
         return n
 
     def seed_urls(self) -> list[str]:
-        return [self.page_url(i, 0) for i in range(self.n_seed_hosts)]
+        return [
+            self.page_url(i, j)
+            for i in range(self.n_seed_hosts)
+            for j in range(min(self.seeds_per_host, self.n_pages(i)))
+        ]
 
 
 def _mix(url_hash: np.ndarray | int, salt: int, seed: int) -> np.ndarray:
@@ -151,8 +158,9 @@ def out_links(url: str, url_hash: int, cfg: WebConfig) -> list[str]:
 def image_payload(url_hash: int, cfg: WebConfig) -> dict:
     """The page's image+caption payload (input_hint schema, minus phash)."""
     h = int(_mix(url_hash, 3, cfg.seed))
-    w = 16 + (h % 49)
-    hh = 16 + ((h >> 8) % 49)
+    span = cfg.img_max - cfg.img_min + 1
+    w = cfg.img_min + (h % span)
+    hh = cfg.img_min + ((h >> 8) % span)
     fmt = ("raw", "png", "q6")[(h >> 16) % 3]
     img = synth_image(h >> 24, w, hh)
     return {

@@ -1,27 +1,36 @@
 """Distributed crawl engine: one Ray Data pipeline per wave, checkpointed.
 
-The Ray-native restatement of the reference crawl loop (SURVEY.md §3.4).
-Each wave:
+The Ray-native restatement of the reference crawl loop (SURVEY.md §3.4),
+engineered down to ONE all-to-all exchange per wave:
 
-  frontier scan (filter-at-read: WAIT ∧ attempt<cap, pruned columns)
-    → per-partition top-k selection            [rule (a), groupby map_groups]
-    → host-bucket fetch                         [FetchStage actor-pool groups]
-    → DONE rows → DecodeStage (image+phash)     [actor-pool map_batches]
-                → per-partition image fragments → Lance-style commit
-    → DONE rows → out-link explode/canonicalize [vectorized map_batches]
-                → within-wave dedup (min (parent_hash, link_index))
-                → sharded bloom/cuckoo/exact dedup [DedupShard actors]
-    → per-partition frontier update (status columns + inserts, anti-join
-      defensive) → new partition versions → manifest-last wave commit.
+  execution 1 — claim+fetch+commit, zero exchanges:
+    partition manifest → map_batches(SelectFetchCommit): each task owns one
+    hostname-hash partition — reads its file list, takes the top-k claim
+    [rule (a)], runs politeness-ordered host fetches [rules (b)-(d)],
+    writes the consolidated partition version (status/attempt columns) and
+    the wave's crawl-order fragment, and emits light fetch rows.
+
+  execution 2 — three branches, one exchange:
+    DONE rows → DecodeWriteBatch  (image decode+phash+fragment write; plain
+                map_batches — bytes never cross an exchange)           ─┐
+    DONE rows → out-link explode/canonicalize → CheckRouter (sharded   ─┼→ union
+                bloom/cuckoo/exact seen pre-filter, check-only)         │  of tiny
+              → groupby(partition_id) → InsertPartition (wave keep-     │  metrics
+                first §4.3(c), exact anti-join, inserts file)          ─┘  rows
+    marker rows → manifest bookkeeping
+
+  then the driver writes the three manifests, frontier last (the wave
+  commit point).
 
 Master/gRPC/Akka from the reference disappear: the driver is the scheduler,
 Ray Data's streaming executor the dispatcher, partition ownership replaces
 the global claim lock (QueueTaskServiceImpl.scala:57-66).
 
-Scale notes: every shuffle here moves *wave-sized* data (≤ P × wave_cap
-rows), never the whole frontier; the frontier itself is only read
-filter-pruned and written partition-wise. Buckets (fetch, dedup) amortize
-Python dispatch. Blocks stay Arrow end-to-end.
+Scale notes: the only exchanged rows are pre-filtered out-link candidates
+(wave-sized, light columns); the frontier is read and written partition-
+wise; image bytes are produced and written at their destination task;
+every file name is deterministic in (wave, partition | content) so waves
+re-run idempotently after a crash.
 """
 
 from __future__ import annotations
@@ -39,9 +48,17 @@ import ray.data as rd
 
 from ..functions.hashing import hash64
 from ..functions.urls import canonicalize, extract_host, host_partition
-from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
+from ..sources.frontier import FrontierStore
 from ..sources.lancelike import LanceLikeTable
-from ..stages.crawl import DecodeStage, DedupShard, SelectAndFetch, ShardDedupGroup, extract_candidates
+from ..stages.crawl import (
+    MARKER_STATUS,
+    CheckRouter,
+    DecodeStage,
+    DedupShard,
+    InsertPartition,
+    SelectFetchCommit,
+    extract_candidates,
+)
 from . import semantics as sem
 from . import synthweb as sw
 
@@ -70,142 +87,62 @@ ORDER_SCHEMA = pa.schema(
     ]
 )
 
-
-# tagged-union row kinds for the fused per-partition commit stage
-KIND_IMAGE, KIND_ORDER, KIND_UPDATE, KIND_NEW = 0, 1, 2, 3
-
-# superset schema all four branches are padded to before the union
-SUPER_SCHEMA = pa.schema(
+_RESULT_SCHEMA = pa.schema(
     [
-        ("kind", pa.int8()),
-        ("url", pa.string()),
-        ("url_hash", pa.uint64()),
-        ("host", pa.string()),
-        ("depth", pa.int32()),
-        ("priority", pa.float32()),
-        ("status", pa.int8()),
-        ("attempt", pa.int32()),
-        ("discovered_at", pa.int32()),
-        ("parent_hash", pa.uint64()),
-        ("link_index", pa.int32()),
-        ("partition_id", pa.int32()),
-        ("vtime", pa.int64()),
-        ("wave", pa.int32()),
-        ("image_id", pa.string()),
-        ("bytes", pa.binary()),
-        ("w", pa.int32()),
-        ("h", pa.int32()),
-        ("fmt", pa.string()),
-        ("caption", pa.string()),
-        ("phash", pa.int64()),
+        ("src", pa.string()),
+        ("pid", pa.int32()),
+        ("rel", pa.string()),
+        ("rel2", pa.string()),
+        ("n1", pa.int64()),
     ]
 )
 
-_SUPER_DEFAULTS = {
-    pa.string(): "",
-    pa.binary(): b"",
-}
+
+def _result_row(src: str, pid: int, rel: str = "", rel2: str = "", n1: int = 0) -> pa.Table:
+    """One metrics row — shared schema so all branches union into one
+    execution and the driver reads a single tiny result table."""
+    return pa.table(
+        {
+            "src": pa.array([src], pa.string()),
+            "pid": pa.array([pid], pa.int32()),
+            "rel": pa.array([rel], pa.string()),
+            "rel2": pa.array([rel2], pa.string()),
+            "n1": pa.array([n1], pa.int64()),
+        }
+    )
 
 
-def _pad_super(t: pa.Table, kind: int, wave: int) -> pa.Table:
-    """Project a branch's batch onto SUPER_SCHEMA (missing cols → defaults)."""
-    n = t.num_rows
-    cols = {}
-    for f in SUPER_SCHEMA:
-        if f.name == "kind":
-            cols["kind"] = pa.array(np.full(n, kind, np.int8), pa.int8())
-        elif f.name == "wave":
-            cols["wave"] = pa.array(np.full(n, wave, np.int32), pa.int32())
-        elif f.name == "discovered_at" and kind == KIND_NEW:
-            cols["discovered_at"] = pa.array(np.full(n, wave + 1, np.int32), pa.int32())
-        elif f.name in t.column_names:
-            cols[f.name] = t[f.name].cast(f.type)
-        else:
-            default = _SUPER_DEFAULTS.get(f.type)
-            if default is not None:
-                cols[f.name] = pa.array([default] * n, f.type)
-            else:
-                cols[f.name] = pa.array(np.zeros(n, np.int64), pa.int64()).cast(f.type)
-    return pa.table(cols).select([f.name for f in SUPER_SCHEMA])
+def _empty_result() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in _RESULT_SCHEMA})
 
 
-class CommitPartition:
-    """Fused per-partition wave commit: image fragment + order fragment +
-    frontier partition version, written by the partition's one group task.
+class DecodeWriteBatch:
+    """Image decode + phash + fragment write, one fragment per input batch.
 
-    Fragment/version names are deterministic (wave, pid) so a re-run of a
-    failed wave rewrites identical files — combined with manifest-last
-    commits this makes waves idempotent (the lease-recovery analog)."""
+    Plain ``map_batches`` over the DONE rows — no exchange at all for the
+    image path: bytes are produced exactly where the fragment is written,
+    and uniform batch sizes keep decode tasks even regardless of host or
+    partition skew (the hot-domain salting analog for the payload stage).
+    The fragment name derives from the batch's minimum url_hash (disjoint
+    batches → unique names); cross-run idempotency comes from the
+    commit-by-wave guard in run_wave, task-retry idempotency from
+    deterministic blocks of the materialized fetch output."""
 
-    def __init__(self, frontier_path: str, images_path: str, order_path: str, num_partitions: int, wave: int, part_files: dict):
-        self.frontier_path = frontier_path
+    def __init__(self, images_path: str, wave: int, cfg: sw.WebConfig):
         self.images_path = images_path
-        self.order_path = order_path
-        self.P = num_partitions
         self.wave = wave
-        self.part_files = part_files
-        self.__name__ = f"CommitPartition(w{wave})"
+        self.decode = DecodeStage(cfg)
+        self.__name__ = f"DecodeWriteBatch(w{wave})"
 
     def __call__(self, g: pa.Table) -> pa.Table:
-        wave = self.wave
-        pid = g["partition_id"][0].as_py()
-        kind = g["kind"].to_numpy()
-        name = f"w{wave:05d}-p{pid:04d}"
-
-        img = g.filter(pa.array(kind == KIND_IMAGE))
-        img_rel = ""
-        if img.num_rows:
-            t = img.select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
-            t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
-            img_rel = LanceLikeTable(self.images_path).write_fragment(t, name=name)
-
-        order = g.filter(pa.array(kind == KIND_ORDER))
-        order_rel = ""
-        if order.num_rows:
-            t = order.select([f.name for f in ORDER_SCHEMA]).cast(ORDER_SCHEMA)
-            t = t.take(pc.sort_indices(t, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
-            order_rel = LanceLikeTable(self.order_path).write_fragment(t, name=name)
-
-        upd = g.filter(pa.array(kind == KIND_UPDATE))
-        new = g.filter(pa.array(kind == KIND_NEW))
-        front_rel = ""
-        n_new = 0
-        if upd.num_rows or new.num_rows:
-            store = FrontierStore(self.frontier_path, self.P)
-            old = pq.read_table(self.part_files[pid])
-            uh = old["url_hash"].to_numpy().astype(np.uint64)
-            status = old["status"].to_numpy().copy()
-            attempt = old["attempt"].to_numpy().copy()
-            if upd.num_rows:
-                order_idx = np.argsort(uh, kind="stable")
-                pos = order_idx[np.searchsorted(uh[order_idx], upd["url_hash"].to_numpy().astype(np.uint64))]
-                status[pos] = upd["status"].to_numpy()
-                attempt[pos] = upd["attempt"].to_numpy()
-            cols = {nm: old[nm] for nm in old.column_names}
-            cols["status"] = pa.array(status, pa.int8())
-            cols["attempt"] = pa.array(attempt, pa.int32())
-            out = pa.table(cols)
-            if new.num_rows:
-                mask = ~np.isin(new["url_hash"].to_numpy().astype(np.uint64), uh)  # defensive anti-join
-                new = new.filter(pa.array(mask))
-            n_new = new.num_rows
-            if n_new:
-                nt = new.select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
-                nt = nt.take(pc.sort_indices(nt, sort_keys=[("url_hash", "ascending")]))
-                out = pa.concat_tables([out, nt]).cast(FRONTIER_SCHEMA)
-            front_rel = store.write_partition(pid, out, wave)
-
-        return pa.table(
-            {
-                "pid": pa.array([pid], pa.int32()),
-                "img_rel": pa.array([img_rel], pa.string()),
-                "order_rel": pa.array([order_rel], pa.string()),
-                "front_rel": pa.array([front_rel], pa.string()),
-                "img_rows": pa.array([img.num_rows], pa.int64()),
-                "order_rows": pa.array([order.num_rows], pa.int64()),
-                "n_new": pa.array([n_new], pa.int64()),
-            }
-        )
+        if g.num_rows == 0:
+            return _empty_result()
+        t = self.decode(g.select(["url_hash", "partition_id"]))
+        t = t.select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
+        t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+        name = f"w{self.wave:05d}-h{int(g['url_hash'].to_numpy().min()):016x}"
+        rel = LanceLikeTable(self.images_path).write_fragment(t, name=name)
+        return _result_row("img", -1, rel=rel, n1=t.num_rows)
 
 
 class CrawlEngine:
@@ -216,9 +153,9 @@ class CrawlEngine:
         num_partitions: int = 8,
         num_shards: int = 4,
         wave_cap_per_partition: int = 50,
-        fetch_buckets: int = 8,
+        fetch_buckets: int = 8,  # kept for config compat; partition tasks ARE the fetch buckets
         decode_batch_size: int = 64,
-        decode_concurrency: int = 2,
+        decode_concurrency: int | None = None,
     ):
         self.root = root
         self.cfg = cfg
@@ -242,11 +179,12 @@ class CrawlEngine:
         with open(os.path.join(root, "config.json"), "w") as f:
             json.dump(
                 {
-                    "cfg": cfg.__dict__ | {"hot_hosts": list(cfg.hot_hosts)},
+                    "cfg": eng.cfg.__dict__ | {"hot_hosts": list(eng.cfg.hot_hosts)},
                     "num_partitions": eng.P,
                     "num_shards": eng.S,
                     "wave_cap_per_partition": eng.K,
                     "fetch_buckets": eng.B,
+                    "decode_batch_size": eng.decode_batch_size,
                 },
                 f,
             )
@@ -270,7 +208,8 @@ class CrawlEngine:
             num_partitions=c["num_partitions"],
             num_shards=c["num_shards"],
             wave_cap_per_partition=c["wave_cap_per_partition"],
-            fetch_buckets=c["fetch_buckets"],
+            fetch_buckets=c.get("fetch_buckets", 8),
+            decode_batch_size=c.get("decode_batch_size", 64),
         )
 
     def _seed_table(self) -> pa.Table:
@@ -309,7 +248,7 @@ class CrawlEngine:
         return self.shards
 
     def frontier_row_count(self) -> int:
-        return sum(pq.read_metadata(f).num_rows for f in self.frontier.partition_files().values())
+        return sum(pq.read_metadata(f).num_rows for f in self.frontier._all_files())
 
     # ---------------------------------------------------------------- waves
     def run(self, max_waves: int = 20) -> dict:
@@ -335,7 +274,10 @@ class CrawlEngine:
         def tune():
             ctx = rd.DataContext.get_current()
             saved = (ctx.min_parallelism, ctx.read_op_min_num_blocks)
-            ctx.min_parallelism = max(self.P, 2 * self.S)
+            import multiprocessing
+
+            ncpu = multiprocessing.cpu_count()
+            ctx.min_parallelism = max(self.P, 2 * ncpu)
             ctx.read_op_min_num_blocks = self.P
             try:
                 yield
@@ -349,86 +291,81 @@ class CrawlEngine:
             return self._run_wave_inner(wave)
 
     def _run_wave_inner(self, wave: int) -> dict | None:
+        import time as _time
+
+        t_start = _time.time()
         cfg, P = self.cfg, self.P
         shards = self._ensure_shards()
         part_files = self.frontier.partition_files()
+        old_manifest = self.frontier.manifest()
 
-        # ---- fused per-partition claim + fetch: one task per partition file,
-        # no shuffle (partition ownership replaces the reference's global
-        # claim lock). The partition manifest is the input dataset.
+        # ---- execution 1: per-partition claim + fetch + status commit
         parts_ds = rd.from_items(
-            [{"pid": pid, "path": path} for pid, path in sorted(part_files.items())]
+            [{"pid": pid, "paths": paths} for pid, paths in sorted(part_files.items())]
         ).repartition(len(part_files))
-        fetched = (
-            parts_ds.map_batches(SelectAndFetch(cfg, wave, self.K), batch_size=1, **_PA)
-            .materialize()  # wave-sized working set, reused by 3 consumers
-        )
-        n_selected = fetched.count()
-        if n_selected == 0:
-            return None
+        stage1 = SelectFetchCommit(cfg, wave, self.K, self.frontier.path, self.order.path, P)
+        fetched = parts_ds.map_batches(stage1, batch_size=1, **_PA).materialize()
+        n_rows = fetched.count()
+        t_fetch = _time.time() - t_start
 
+        # ---- execution 2: decode branch + insert branch + marker rows
         done = fetched.map_batches(lambda t: t.filter(pc.equal(t["status"], sem.DONE)), **_PA)
 
-        # ---- everything downstream of fetch is ONE execution graph:
-        #   decode(images) ─┐
-        #   order rows     ─┤
-        #   status updates ─┼─ union → groupby(partition_id) → CommitPartition
-        #   candidates → groupby(shard) → dedup → new rows ─┘
-        # Two internal shuffles total (shard exchange + partition exchange);
-        # both move wave-sized data only.
-        S = self.S
-        images_rows = done.map_batches(
-            DecodeStage(cfg),
-            batch_size=self.decode_batch_size,
-            **({"concurrency": self.decode_concurrency} if self.decode_concurrency else {}),
-            **_PA,
-        ).map_batches(lambda t: _pad_super(t, KIND_IMAGE, wave), **_PA)
-
-        def keep_fetched(t: pa.Table) -> pa.Table:
-            return _pad_super(t.filter(t["fetched"]), KIND_ORDER, wave)
-
-        order_rows = fetched.map_batches(keep_fetched, **_PA)
-        update_rows = fetched.map_batches(lambda t: _pad_super(t, KIND_UPDATE, wave), **_PA)
-
-        cands = done.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
-        new_rows = (
-            cands.map_batches(
-                lambda t: t.append_column(
-                    "shard", pa.array((t["url_hash"].to_numpy() % np.uint64(S)).astype(np.int32), pa.int32())
-                ),
-                **_PA,
+        def markers_to_result(t: pa.Table) -> pa.Table:
+            m = t.filter(pc.equal(t["status"], MARKER_STATUS))
+            if m.num_rows == 0:
+                return _empty_result()
+            return pa.table(
+                {
+                    "src": pa.array(["main"] * m.num_rows, pa.string()),
+                    "pid": m["partition_id"],
+                    "rel": m["url"],
+                    "rel2": m["host"],
+                    "n1": m["vtime"],
+                }
             )
-            .groupby("shard")
-            .map_groups(ShardDedupGroup(shards), batch_format="pandas")
-            .map_batches(lambda t: _pad_super(t.drop_columns(["shard"]), KIND_NEW, wave), **_PA)
-        )
 
-        committer = CommitPartition(
-            self.frontier.path, self.images.path, self.order.path, self.P, wave, self.frontier.partition_files()
+        marker_branch = fetched.map_batches(markers_to_result, **_PA)
+        img_branch = done.map_batches(
+            DecodeWriteBatch(self.images.path, wave, cfg), batch_size=self.decode_batch_size, **_PA
         )
-        res = (
-            images_rows.union(order_rows)
-            .union(update_rows)
-            .union(new_rows)
+        ins_branch = (
+            done.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
+            .map_batches(CheckRouter(shards), **_PA)
             .groupby("partition_id")
-            .map_groups(committer, batch_format="pyarrow")
-            .to_pandas()
+            .map_groups(InsertPartition(self.frontier.path, P, wave, part_files, shards), batch_format="pandas")
         )
+        res = marker_branch.union(img_branch).union(ins_branch).to_pandas()
+        t_commit = _time.time() - t_start - t_fetch
 
-        # ---- wave commits (frontier manifest last = the wave commit point)
-        self.images.commit([r for r in res["img_rel"] if r], meta={"wave": wave})
-        self.order.commit([r for r in res["order_rel"] if r], meta={"wave": wave})
-        merged = {int(k): v for k, v in self.frontier.manifest()["partitions"].items()}
-        for _, r in res.iterrows():
-            if r["front_rel"]:
-                merged[int(r["pid"])] = r["front_rel"]
+        mains = res[res["src"] == "main"]
+        n_selected = n_rows - len(mains)
+        if n_selected == 0:
+            return None  # nothing crawled (consolidation-only markers possible)
+
+        # ---- manifests (frontier last = the wave commit point); a table
+        # whose latest version already carries this wave id is not
+        # re-committed (crash between commits → idempotent re-run)
+        imgs = res[res["src"] == "img"]
+        ins = res[res["src"] == "ins"]
+        if self.images.manifest().get("meta", {}).get("wave") != wave:
+            self.images.commit([r for r in imgs["rel"] if r], meta={"wave": wave})
+        if self.order.manifest().get("meta", {}).get("wave") != wave:
+            self.order.commit([r for r in mains["rel2"] if r], meta={"wave": wave})
+        part_lists = {int(k): list(v) for k, v in old_manifest["partitions"].items()}
+        for _, r in mains.iterrows():
+            part_lists[int(r["pid"])] = [r["rel"]]
+        for _, r in ins.iterrows():
+            part_lists[int(r["pid"])].append(r["rel"])
         meta = {
             "selected": int(n_selected),
-            "fetched": int(res["order_rows"].sum()),
-            "done": int(res["img_rows"].sum()),
-            "new": int(res["n_new"].sum()),
+            "fetched": int(mains["n1"].sum()),
+            "done": int(imgs["n1"].sum()),
+            "new": int(ins["n1"].sum()),
+            "t_fetch": round(t_fetch, 2),
+            "t_commit": round(t_commit, 2),
         }
-        self.frontier.commit(wave, merged, meta)
+        self.frontier.commit(wave, part_lists, meta)
         return {"wave": wave, **meta}
 
     # --------------------------------------------------------------- export

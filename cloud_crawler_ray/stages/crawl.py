@@ -44,107 +44,79 @@ FETCH_OUT_SCHEMA = pa.schema(
 )
 
 
-class FetchStage:
-    """Fetch one wave's host-bucket groups.
-
-    A callable class so ``map_groups`` runs it on an actor pool: per-actor
-    state (robots cache, UA table — here the WebConfig environment) is built
-    once in ``__init__``, not per batch. Each group = one ``fetch_bucket``
-    (hash(host) % B) containing whole hosts, so every host's politeness
-    bucket is computed by exactly one task — the serialization point the
-    token-bucket model requires (SURVEY.md §4.5). Bucketing (vs one group
-    per host) amortizes Python dispatch over many hosts.
-    """
-
-    def __init__(self, cfg: sw.WebConfig, wave: int):
-        self.cfg = cfg
-        self.wave = wave
-        self.robots_cache: dict[str, int] = {}  # per-actor robots cache (host→residue)
-        self.__name__ = f"FetchStage(w{wave})"  # map_groups wraps fn by name
-
-    def __call__(self, g: pd.DataFrame) -> pa.Table:
-        cfg, wave = self.cfg, self.wave
-        out: list[pa.Table] = []
-        for host, hrows in g.groupby("host", sort=True):
-            # rule (b): per-host order (discovered_at, priority, url_hash)
-            hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
-            uh = hrows["url_hash"].to_numpy().astype(np.uint64)
-            res = sem.fetch_host_wave(
-                str(host), wave, hrows["url"].tolist(), uh, hrows["attempt"].to_numpy(), cfg
-            )
-            out.append(
-                pa.table(
-                    {
-                        "url": pa.array(hrows["url"].tolist(), pa.string()),
-                        "url_hash": pa.array(uh, pa.uint64()),
-                        "host": pa.array([str(host)] * len(hrows), pa.string()),
-                        "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
-                        "partition_id": pa.array(hrows["partition_id"].to_numpy(), pa.int32()),
-                        "status": pa.array(res.status, pa.int8()),
-                        "attempt": pa.array(res.attempt, pa.int32()),
-                        "vtime": pa.array(res.vtime, pa.int64()),
-                        "fetched": pa.array(res.fetched, pa.bool_()),
-                        "links": pa.array(res.links, pa.list_(pa.string())),
-                    }
-                )
-            )
-        return pa.concat_tables(out) if out else pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
+MARKER_STATUS = -1  # meta row emitted by SelectFetchCommit per touched partition
 
 
-class SelectAndFetch:
-    """Fused per-partition claim + fetch (one task per frontier partition).
+class SelectFetchCommit:
+    """Fused per-partition claim + fetch + status-commit (one task per
+    frontier partition — the whole "worker" of the reference in one task).
 
     The reference's transactional claim (pullAndUpdateStatus under a global
     lock, QueueTaskServiceImpl.scala:57-66) becomes partition ownership: one
-    task owns one hostname-hash partition, reads only its file (pruned
-    columns + WAIT/attempt filter), takes the top-k by (priority, url_hash)
-    [rule (a)] and runs the politeness-ordered host fetches locally — no
-    shuffle, no lock, and all of a host's token-bucket grants computed in
-    one place (SURVEY.md §4.5). Input batch: rows of {pid, path} from the
-    wave manifest.
+    task owns one hostname-hash partition. It reads the partition's file
+    list (main + pending inserts), takes the top-k by (priority, url_hash)
+    [rule (a)], runs the politeness-ordered host fetches locally [rules
+    (b)-(d)], then — because it already holds the whole partition in memory
+    — writes the consolidated next partition version with the new status /
+    attempt columns AND the wave's crawl-order fragment. Claim, fetch,
+    status update and compaction cost ZERO exchanges; all of a host's
+    token-bucket grants are computed in one place (SURVEY.md §4.5).
+
+    Output: the light fetch rows (consumed by the decode and out-link
+    branches) plus one marker row per partition (status = -1) carrying the
+    written file names for the driver's manifest commit.
     """
 
-    def __init__(self, cfg: sw.WebConfig, wave: int, k: int):
+    def __init__(self, cfg: sw.WebConfig, wave: int, k: int, frontier_path: str, order_path: str, num_partitions: int):
         self.cfg = cfg
         self.wave = wave
         self.k = k
+        self.frontier_path = frontier_path
+        self.order_path = order_path
+        self.P = num_partitions
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
+        from ..sources.lancelike import LanceLikeTable
+
         cfg, wave = self.cfg, self.wave
+        store = FrontierStore(self.frontier_path, self.P)
         out: list[pa.Table] = []
-        for path in t["path"].to_pylist():
-            part = pq.read_table(
-                path,
-                columns=["url", "url_hash", "host", "depth", "priority", "status", "attempt", "discovered_at", "partition_id"],
-                filters=[("status", "=", sem.WAIT), ("attempt", "<", cfg.max_attempts)],
-            )
-            if part.num_rows == 0:
-                continue
+        for pid, paths in zip(t["pid"].to_pylist(), t["paths"].to_pylist()):
+            part = pa.concat_tables([pq.read_table(p) for p in paths]).combine_chunks()
+            uh_all = part["url_hash"].to_numpy().astype(np.uint64)
             sel = sem.select_wave_indices(
                 part["priority"].to_numpy(),
-                part["url_hash"].to_numpy().astype(np.uint64),
+                uh_all,
                 part["status"].to_numpy(),
                 part["attempt"].to_numpy(),
                 self.k,
                 cfg.max_attempts,
             )
             if len(sel) == 0:
+                if len(paths) > 1:  # still consolidate multi-file partitions
+                    rel = store.write_main(pid, part, wave)
+                    out.append(_marker_row(pid, rel, "", 0))
                 continue
             g = part.take(pa.array(sel)).to_pandas()
+            status_new = part["status"].to_numpy().copy()
+            attempt_new = part["attempt"].to_numpy().copy()
+            part_rows: list[pa.Table] = []
             for host, hrows in g.groupby("host", sort=True):
+                # rule (b): per-host order (discovered_at, priority, url_hash)
                 hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
                 uh = hrows["url_hash"].to_numpy().astype(np.uint64)
                 res = sem.fetch_host_wave(str(host), wave, hrows["url"].tolist(), uh, hrows["attempt"].to_numpy(), cfg)
-                out.append(
+                part_rows.append(
                     pa.table(
                         {
                             "url": pa.array(hrows["url"].tolist(), pa.string()),
                             "url_hash": pa.array(uh, pa.uint64()),
                             "host": pa.array([str(host)] * len(hrows), pa.string()),
                             "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
-                            "partition_id": pa.array(hrows["partition_id"].to_numpy(), pa.int32()),
+                            "partition_id": pa.array(np.full(len(hrows), pid, np.int32), pa.int32()),
                             "status": pa.array(res.status, pa.int8()),
                             "attempt": pa.array(res.attempt, pa.int32()),
                             "vtime": pa.array(res.vtime, pa.int64()),
@@ -153,9 +125,56 @@ class SelectAndFetch:
                         }
                     )
                 )
+            fetch_rows = pa.concat_tables(part_rows)
+            # apply the wave's status/attempt updates (searchsorted scatter)
+            order_idx = np.argsort(uh_all, kind="stable")
+            pos = order_idx[np.searchsorted(uh_all[order_idx], fetch_rows["url_hash"].to_numpy())]
+            status_new[pos] = fetch_rows["status"].to_numpy()
+            attempt_new[pos] = fetch_rows["attempt"].to_numpy()
+            cols = {nm: part[nm] for nm in part.column_names}
+            cols["status"] = pa.array(status_new, pa.int8())
+            cols["attempt"] = pa.array(attempt_new, pa.int32())
+            main_rel = store.write_main(pid, pa.table(cols).cast(FRONTIER_SCHEMA), wave)
+            # crawl-order fragment for this (wave, partition)
+            forder = fetch_rows.filter(fetch_rows["fetched"])
+            order_rel = ""
+            if forder.num_rows:
+                ot = pa.table(
+                    {
+                        "wave": pa.array(np.full(forder.num_rows, wave, np.int32), pa.int32()),
+                        "vtime": forder["vtime"],
+                        "url_hash": forder["url_hash"],
+                        "host": forder["host"],
+                        "partition_id": forder["partition_id"],
+                    }
+                )
+                ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
+                order_rel = LanceLikeTable(self.order_path).write_fragment(ot, name=f"w{wave:05d}-p{pid:04d}")
+            out.append(fetch_rows)
+            out.append(_marker_row(pid, main_rel, order_rel, forder.num_rows))
         if not out:
             return pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
         return pa.concat_tables(out)
+
+
+def _marker_row(pid: int, main_rel: str, order_rel: str, n_order: int) -> pa.Table:
+    """Meta row (status = MARKER_STATUS) in FETCH_OUT_SCHEMA: url carries the
+    main file relpath, host the order fragment relpath, vtime the order-row
+    count."""
+    return pa.table(
+        {
+            "url": pa.array([main_rel], pa.string()),
+            "url_hash": pa.array([0], pa.uint64()),
+            "host": pa.array([order_rel], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "partition_id": pa.array([pid], pa.int32()),
+            "status": pa.array([MARKER_STATUS], pa.int8()),
+            "attempt": pa.array([0], pa.int32()),
+            "vtime": pa.array([n_order], pa.int64()),
+            "fetched": pa.array([False], pa.bool_()),
+            "links": pa.array([None], pa.list_(pa.string())),
+        }
+    )
 
 
 class DecodeStage:
@@ -288,6 +307,31 @@ class DedupShard:
         self.cuckoo.add_many(fresh)
         return new
 
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Check-only membership: bloom/cuckoo fast-no, exact confirm.
+
+        Used as the in-wave pre-filter (state frozen during a wave; see
+        CheckRouter). No false "seen" for genuinely new keys: bloom/cuckoo
+        positives are confirmed against the exact set.
+        """
+        hashes = hashes.astype(np.uint64)
+        maybe = self.bloom.contains_many(hashes) & self.cuckoo.contains_many(hashes)
+        out = np.zeros(len(hashes), bool)
+        if maybe.any():
+            idx = np.flatnonzero(maybe)
+            out[idx] = self.exact.contains_many(hashes[idx])
+        return out
+
+    def add_seen(self, hashes: np.ndarray) -> int:
+        """Register committed-seen keys (post-wave pre-filter refresh)."""
+        hashes = np.unique(hashes.astype(np.uint64))
+        new = ~self.exact.contains_many(hashes)
+        fresh = hashes[new]
+        self.exact.add_many(fresh)
+        self.bloom.add_many(fresh)
+        self.cuckoo.add_many(fresh)
+        return int(new.sum())
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,
@@ -297,28 +341,19 @@ class DedupShard:
         }
 
 
-class ShardDedupGroup:
-    """Fused ``map_groups`` body for one dedup shard: within-wave keep-first
-    (rule §4.3(c): min (parent_hash, link_index) per child url_hash) then a
-    single round-trip to the shard's actor for the cross-wave check — one
-    groupby replaces two shuffle stages."""
+class CheckRouter:
+    """Check-only pre-filter against the sharded URL-seen actors.
 
-    def __init__(self, shard_handles: list):
-        self.shards = shard_handles
-        self.__name__ = "ShardDedupGroup"
-
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["url_hash", "parent_hash", "link_index"], kind="stable")
-        g = g.drop_duplicates("url_hash", keep="first")
-        sid = int(g["shard"].iloc[0])
-        new = ray.get(self.shards[sid].check_and_add.remote(g["url_hash"].to_numpy().astype(np.uint64)))
-        return g[new]
-
-
-class DedupRouter:
-    """map_batches body that routes candidate rows to the shard actors and
-    filters to first discoveries. The actor round-trip happens once per
-    (batch × shard) — candidates are wave-sized, not frontier-sized."""
+    Routes a candidate batch's hashes to the shard actors (url_hash % S)
+    and drops rows the exact seen-sets already contain. Deliberately
+    *check-only* (no add) during a wave: actor state stays frozen at
+    wave-start, so every within-wave copy of a new URL passes through and
+    the tie rule §4.3(c) is resolved by data in the partition group — never
+    by actor-call arrival order. Staleness is safe: a stale "new" verdict
+    is caught by the destination partition's exact anti-join; "seen"
+    verdicts only ever come from committed state. Cuts the shuffle volume
+    by the duplicate fraction (≈40-60% in steady-state waves).
+    """
 
     def __init__(self, shard_handles: list):
         self.shards = shard_handles
@@ -334,8 +369,69 @@ class DedupRouter:
         for s in range(self.n):
             m = sid == s
             if m.any():
-                futs.append(self.shards[s].check_and_add.remote(h[m]))
+                futs.append(self.shards[s].contains.remote(h[m]))
                 idxs.append(np.flatnonzero(m))
         for fut, ix in zip(futs, idxs):
-            keep[ix] = ray.get(fut)
+            keep[ix] = ~ray.get(fut)
         return t.filter(pa.array(keep))
+
+
+class InsertPartition:
+    """``map_groups`` body for one frontier partition's discovered URLs:
+    within-wave keep-first (rule §4.3(c): min (parent_hash, link_index) per
+    child url_hash — all copies of a URL are in this group because host
+    determines the partition), exact anti-join against the partition's own
+    committed rows (the authoritative first-discovery-wins check,
+    SqlQueueTaskProvider.scala:58-68 analog), then writes the wave's
+    inserts file and pushes the accepted hashes to the seen-shard actors
+    (async — the actors are a pre-filter, the partition file is the truth).
+    """
+
+    def __init__(self, frontier_path: str, num_partitions: int, wave: int, part_files: dict, shard_handles: list):
+        self.frontier_path = frontier_path
+        self.P = num_partitions
+        self.wave = wave
+        self.part_files = part_files  # pre-wave file lists (url set == post-claim main)
+        self.shards = shard_handles
+        self.__name__ = f"InsertPartition(w{wave})"
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
+
+        pid = int(g["partition_id"].iloc[0])
+        g = g.sort_values(["url_hash", "parent_hash", "link_index"], kind="stable")
+        g = g.drop_duplicates("url_hash", keep="first")
+        seen = np.concatenate(
+            [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in self.part_files[pid]]
+        ).astype(np.uint64)
+        fresh = g[~np.isin(g["url_hash"].to_numpy().astype(np.uint64), seen)].copy()
+        if not len(fresh):
+            return _empty_ins_result()
+        fresh["status"] = np.int8(0)  # WAIT
+        fresh["attempt"] = np.int32(0)
+        fresh["discovered_at"] = np.int32(self.wave + 1)
+        t = pa.Table.from_pandas(fresh, preserve_index=False).select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
+        t = t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending")]))
+        rel = FrontierStore(self.frontier_path, self.P).write_inserts(pid, t, self.wave)
+        h = t["url_hash"].to_numpy().astype(np.uint64)
+        sid = h % np.uint64(len(self.shards))
+        for s in range(len(self.shards)):
+            m = sid == s
+            if m.any():
+                self.shards[s].add_seen.remote(h[m])  # fire-and-forget pre-filter update
+        return pd.DataFrame({"src": ["ins"], "pid": np.array([pid], np.int32), "rel": [rel],
+                             "rel2": [""], "n1": np.array([len(fresh)], np.int64)})
+
+
+def _empty_ins_result() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "src": pd.Series([], dtype=object),
+            "pid": pd.Series([], dtype=np.int32),
+            "rel": pd.Series([], dtype=object),
+            "rel2": pd.Series([], dtype=object),
+            "n1": pd.Series([], dtype=np.int64),
+        }
+    )
