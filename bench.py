@@ -157,6 +157,11 @@ def full_run() -> dict:
 
 def scaling_run() -> dict:
     def one(ncpu: int) -> dict:
+        # settle the filesystem first: the previous run wrote+deleted ~3.5GB
+        # of image fragments and pending writeback would bleed into this
+        # run's timings
+        os.sync()
+        time.sleep(20)  # measured: back-to-back runs cost ~30% until the node settles
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
