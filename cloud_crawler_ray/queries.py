@@ -735,3 +735,279 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
         .map_groups(lambda g: g.nsmallest(1, "doc_id"), batch_format="pandas")
         .select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
     )
+
+
+# --------------------------------------------------------------------------
+# Queue/point ops, unions, lease recovery, grouped top-k, distinct count
+# --------------------------------------------------------------------------
+
+
+def q_point_lookup(sf_dir: str):
+    """Point lookup by id set (MongoQueueTaskProvider.getByIds analog :133-149)."""
+    ids = [1, 7, 42, 77, 123]
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    return ds.map_batches(lambda t: t.filter(pc.is_in(t["o_orderkey"], pa.array(ids, pa.int64()))), **_PA)
+
+
+def q_union_append(sf_dir: str):
+    """Frontier-append union: two key sets tagged by source (ds.union)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"], "src": pa.array(["customer"] * t.num_rows, pa.string())}), **_PA
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        lambda t: pa.table({"key": t["s_suppkey"], "src": pa.array(["supplier"] * t.num_rows, pa.string())}), **_PA
+    )
+    return cust.union(supp)
+
+
+def q_lease_recovery(sf_dir: str):
+    """Lease sweep: rows stuck in-progress past the cutoff flip back to wait
+    (QueueTaskRecover.scala:31-46 semantics on the events table)."""
+    cutoff = pa.scalar(pd.Timestamp("2024-01-10"), pa.timestamp("us"))
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def sweep(t: pa.Table) -> pa.Table:
+        stale = pc.less(t["ts"], cutoff)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "lease_state": pc.if_else(stale, pa.scalar("requeued"), pa.scalar("in_progress")),
+            }
+        )
+
+    return ds.map_batches(sweep, **_PA)
+
+
+def q_grouped_topk(sf_dir: str):
+    """Top-2 orders by value per customer — per-key top-k via bucketed groups."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(t["o_custkey"].to_numpy() % 64, pa.int32()))
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True], kind="stable")
+        out = g.groupby("o_custkey", sort=False).head(2)
+        return out[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(topk_bucket, batch_format="pandas")
+
+
+def q_distinct_count(sf_dir: str):
+    """Global count-distinct via partial unique per batch + tiny groupby."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.unique(t["l_partkey"])})
+
+    n = ds.map_batches(local_unique, **_PA).groupby("l_partkey").aggregate(Count(alias_name="_n")).count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Similarity search, IVF variant
+# --------------------------------------------------------------------------
+
+
+def q_embedding_topk_ivf(sf_dir: str):
+    """IVF-probed cosine top-k (scale path of q_embedding_topk; rows-only —
+    recall vs brute force is unit-tested)."""
+    import pyarrow.parquet as pq
+
+    from .functions.ann import IVFIndex
+
+    k, n_lists, nprobe = 10, 8, 3
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = np.array(emb["embedding"].to_pylist(), np.float64)
+    index = IVFIndex.build(vecs, n_lists=n_lists)
+    q = vecs[pc.index(emb["vec_id"], 0).as_py()]
+    probed = set(index.probe_lists(q, nprobe).tolist())
+    index_ref = ray.put(index)
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Probe:
+        def __init__(self):
+            self.index = ray.get(index_ref)
+            self.q = ray.get(q_ref)
+            self.probed = probed
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb_b = np.array(t["embedding"].to_pylist(), np.float64)
+            lists = self.index.assign(emb_b)
+            keep = np.isin(lists, list(self.probed)) & (t["vec_id"].to_numpy() != 0)
+            emb_k = emb_b[keep]
+            if not len(emb_k):
+                return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
+            norms = np.linalg.norm(emb_k, axis=1)
+            sims = (emb_k @ self.q) / np.where(norms == 0, 1, norms)
+            return pa.table({"vec_id": pa.array(t["vec_id"].to_numpy()[keep], pa.int64()),
+                             "cos_sim": pa.array(np.round(sims, 6), pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(Probe, concurrency=2, **_PA).sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing over a deterministic synthetic images table
+# --------------------------------------------------------------------------
+
+
+def _synthetic_images(sf_dir: str):
+    """Deterministic image table derived from doc ids (binary payload column)."""
+    from .functions import imaging
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, fmts = [], [], [], [], []
+        for d in t["doc_id"].to_pylist():
+            w, h = 16 + (d * 7) % 33, 16 + (d * 13) % 33
+            img = imaging.synth_image(d, w, h)
+            fmt = ("raw", "png", "q6")[d % 3]
+            ids.append(f"img{d:08d}")
+            blobs.append(imaging.encode_image(img, fmt))
+            ws.append(w); hs.append(h); fmts.append(fmt)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(make, batch_size=128, **_PA)
+
+
+def q_image_features(sf_dir: str):
+    """Binary-payload decode → resize → features on an actor pool
+    (stages/multimodal.py; rows-only — determinism is the check)."""
+    from .stages.multimodal import ImageFeatureStage
+
+    feats = _synthetic_images(sf_dir).map_batches(
+        ImageFeatureStage, batch_size=64, concurrency=2, **_PA
+    )
+    return feats.map_batches(lambda t: t.drop_columns(["thumbnail"]), **_PA)
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (stub codec): one row per sampled frame."""
+    from .stages.multimodal import FrameSampleStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_video(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "video_id": pc.binary_join_element_wise(
+                    pa.array(["vid"] * t.num_rows, pa.string()), pc.cast(t["doc_id"], pa.string()), ""
+                ),
+                "bytes": pc.cast(t["text"], pa.binary()),
+            }
+        )
+
+    frames = ds.map_batches(as_video, **_PA).map_batches(FrameSampleStage, batch_size=64, concurrency=2, **_PA)
+    return frames.map_batches(
+        lambda t: pa.table({"video_id": t["video_id"], "frame_index": t["frame_index"],
+                            "frame_bytes": pa.array([len(b) for b in t["frame"].to_pylist()], pa.int64())}),
+        **_PA,
+    )
+
+
+# --------------------------------------------------------------------------
+# Crawl-engine flagship exposed as queries (rows-only; conformance suite
+# proves oracle equality separately)
+# --------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, object] = {}
+
+
+def _small_crawl(sf_dir: str):
+    """One small deterministic crawl per sf_dir (cached within the process)."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    import tempfile
+
+    from .pipelines import synthweb as sw
+    from .pipelines.wave import CrawlEngine
+
+    cfg = sw.WebConfig(n_hosts=10, pages_per_host=100, n_seed_hosts=5)
+    root = tempfile.mkdtemp(prefix="ccr_crawl_q_")
+    eng = CrawlEngine.start(root, cfg, num_partitions=4, num_shards=2, wave_cap_per_partition=25)
+    eng.run(max_waves=4)
+    eng.shutdown_shards()
+    _CRAWL_CACHE[sf_dir] = eng
+    return eng
+
+
+def _u64_as_i64(t: pa.Table, col: str) -> pa.Table:
+    # bit-pattern reinterpret (a value cast would overflow int64)
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pa.array(t[col].to_numpy().view(np.int64)))
+
+
+def q_crawl_order(sf_dir: str):
+    """Global crawl order of the flagship crawl (wave, vtime, url_hash)."""
+    return _u64_as_i64(_small_crawl(sf_dir).crawl_order(), "url_hash")
+
+
+def q_crawl_seen_set(sf_dir: str):
+    """Final URL-seen set + statuses of the flagship crawl."""
+    t = _small_crawl(sf_dir).frontier.to_arrow(columns=["url_hash", "status", "depth", "attempt"])
+    t = _u64_as_i64(t, "url_hash")
+    return t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending")]))
+
+
+def q_crawl_images_meta(sf_dir: str):
+    """Image+caption metadata of the flagship crawl (input_hint schema sans bytes)."""
+    t = _small_crawl(sf_dir).images.to_arrow(columns=["image_id", "w", "h", "fmt", "caption", "phash"])
+    return t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
+
+
+QUERIES.update(
+    {
+        "point_lookup": q_point_lookup,
+        "union_append": q_union_append,
+        "lease_recovery": q_lease_recovery,
+        "grouped_topk": q_grouped_topk,
+        "distinct_count": q_distinct_count,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "crawl_order": q_crawl_order,
+        "crawl_seen_set": q_crawl_seen_set,
+        "crawl_images_meta": q_crawl_images_meta,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (1, 7, 42, 77, 123)
+        """,
+        "union_append": """
+            SELECT c_custkey AS key, 'customer' AS src FROM customer
+            UNION ALL
+            SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+        """,
+        "lease_recovery": """
+            SELECT event_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'requeued'
+                        ELSE 'in_progress' END AS lease_state
+            FROM events
+        """,
+        "grouped_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "distinct_count": """
+            SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+    }
+)
