@@ -307,6 +307,8 @@ class CrawlEngine:
         fetched = parts_ds.map_batches(stage1, batch_size=1, **_PA).materialize()
         n_rows = fetched.count()
         t_fetch = _time.time() - t_start
+        if n_rows == 0:
+            return None  # frontier drained — nothing claimed anywhere
 
         # ---- execution 2: decode branch + insert branch + marker rows
         done = fetched.map_batches(lambda t: t.filter(pc.equal(t["status"], sem.DONE)), **_PA)
