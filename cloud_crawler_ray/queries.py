@@ -35,6 +35,26 @@ from .functions.hashing import hash64
 _PA = {"batch_format": "pyarrow"}
 
 
+def _tune_context() -> None:
+    """Size Ray Data's default shuffle/read parallelism to the machine.
+
+    The stock defaults (min_parallelism=200, read_op_min_num_blocks=200)
+    spawn hundreds of near-empty tasks per groupby/sort at these data
+    sizes; the natural parallelism is a small multiple of the CPU count.
+    Called once at import — these queries are the only pipelines in the
+    session (driver gate / bench / tests).
+    """
+    import multiprocessing
+
+    ncpu = multiprocessing.cpu_count()
+    ctx = rd.DataContext.get_current()
+    ctx.min_parallelism = min(200, max(32, 2 * ncpu))
+    ctx.read_op_min_num_blocks = min(200, max(16, ncpu))
+
+
+_tune_context()
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -423,18 +443,16 @@ class _MinHashStage:
         self.num_bands = num_bands
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, bands, keys = [], [], []
-        for doc_id, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.mh.signature(T.shingle_hashes(txt))
-            bk = self.mh.band_keys(sig, self.num_bands)
-            doc_ids.extend([doc_id] * self.num_bands)
-            bands.extend(range(self.num_bands))
-            keys.extend(bk.tolist())
+        texts = t["text"].to_pylist()
+        shingle_sets = [T.shingle_hashes(txt) for txt in texts]
+        sigs = self.mh.signatures_batch(shingle_sets)
+        keys = self.mh.band_keys_batch(sigs, self.num_bands)
+        n = len(texts)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band_id": pa.array(bands, pa.int32()),
-                "band_key": pa.array(keys, pa.uint64()),
+                "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), self.num_bands), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n), pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
             }
         )
 
@@ -446,16 +464,26 @@ def q_minhash_lsh_pairs(sf_dir: str):
     Non-SQL (rows-only); exactness of the LSH machinery is unit-tested.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_MinHashStage, concurrency=2, **_PA)
+    bands = ds.map_batches(_MinHashStage, concurrency=(1, 4), **_PA)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # most (band_id, band_key) buckets are singletons: grouping by a
+        # coarse bucket (256 Python calls) and pairing vectorized inside
+        # beats one map_groups dispatch per LSH bucket (~one per doc×band)
+        return t.append_column(
+            "bucket", pa.array((t["band_key"].to_numpy() % np.uint64(256)).astype(np.int32), pa.int32())
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated(["band_id", "band_key"], keep=False)
+        g = g[dup]
+        if not len(g):
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        m = g.merge(g, on=["band_id", "band_key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()})
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    cand = bands.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(pairs_bucket, batch_format="pandas")
     # distinct pairs
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
