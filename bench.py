@@ -98,6 +98,34 @@ def run_crawl(num_cpus: int) -> dict:
     }
 
 
+def run_dedup_ops(num_shards: int = 8, n_keys: int = 2_000_000, batch: int = 65_536) -> dict:
+    """Frontier-dedup micro-bench: membership ops/s through the sharded
+    bloom→cuckoo→exact actor pool (the BASELINE.json 'frontier-dedup ops/s'
+    metric). Half the probes are repeats so both the definitely-new fast
+    path and the exact-confirm path are exercised."""
+    import numpy as np
+    import ray
+
+    from cloud_crawler_ray.stages.crawl import DedupShard
+
+    shards = [DedupShard.remote(s, capacity=n_keys) for s in range(num_shards)]
+    rng = np.random.Generator(np.random.PCG64(11))
+    keys = rng.integers(0, 2**63, n_keys, dtype=np.uint64)
+    t0 = time.time()
+    ops = 0
+    for i in range(0, n_keys, batch):
+        b = keys[i : i + batch]
+        probe = np.concatenate([b, keys[max(0, i - batch) : i]])  # new + repeats
+        sid = probe % np.uint64(num_shards)
+        futs = [shards[s].check_and_add.remote(probe[sid == s]) for s in range(num_shards)]
+        ray.get(futs)
+        ops += len(probe)
+    elapsed = time.time() - t0
+    for s in shards:
+        ray.kill(s)
+    return {"ops": ops, "sec": round(elapsed, 2), "ops_per_sec": round(ops / elapsed, 0)}
+
+
 def run_queries(sf_dir: str) -> dict:
     from cloud_crawler_ray import queries as q
 
@@ -139,6 +167,7 @@ def full_run() -> dict:
         for t in ("lineitem", "orders", "documents", "events", "embeddings", "part", "customer"):
             pq.read_table(f"{SF_DIR}/{t}.parquet")
         crawl = run_crawl(NUM_CPUS)
+        dedup = run_dedup_ops()
         queries = run_queries(SF_DIR)
         total = crawl["sec"] + sum(queries.values())
         return {
@@ -148,6 +177,7 @@ def full_run() -> dict:
             "queries": queries,
             "crawl": crawl,
             "urls_per_sec": crawl["urls_per_sec"],
+            "dedup_ops_per_sec": dedup["ops_per_sec"],
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "num_cpus": NUM_CPUS,
         }

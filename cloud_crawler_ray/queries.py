@@ -1039,3 +1039,106 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Large-large bucketed hash join + sketch aggregation
+# --------------------------------------------------------------------------
+
+
+def q_bucketed_join(sf_dir: str):
+    """Both-sides-large join: lineitem ⋈ orders on orderkey, revenue per
+    order priority — explicit partitioned hash join (bucket both sides by
+    ``key % B``, join matching buckets inside ``map_groups``), the portable
+    big-join pattern when neither side fits a broadcast.
+    """
+    B = 32
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["l_orderkey"],
+                "rev4": pa.array(
+                    np.round(t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()) * 1e4).astype(np.int64)
+                ),
+                "o_orderpriority": pa.array([""] * t.num_rows, pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                "bucket": pa.array((t["l_orderkey"].to_numpy() % B).astype(np.int32), pa.int32()),
+            }
+        ),
+        **_PA,
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["o_orderkey"],
+                "rev4": pa.array(np.zeros(t.num_rows, np.int64)),
+                "o_orderpriority": t["o_orderpriority"],
+                "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                "bucket": pa.array((t["o_orderkey"].to_numpy() % B).astype(np.int32), pa.int32()),
+            }
+        ),
+        **_PA,
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "rev4"]]
+        right = g[g["side"] == 1][["key", "o_orderpriority"]]
+        m = left.merge(right, on="key")
+        out = m.groupby("o_orderpriority", sort=False)["rev4"].agg(["sum", "count"]).reset_index()
+        return pd.DataFrame(
+            {"o_orderpriority": out["o_orderpriority"], "rev4": out["sum"], "n": out["count"].astype(np.int64)}
+        )
+
+    parts = li.union(od).groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    agg = parts.groupby("o_orderpriority").aggregate(Sum("rev4", alias_name="rev4"), Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue": pc.divide(pc.cast(t["rev4"], pa.float64()), 1e4),
+                "n": t["n"],
+            }
+        ),
+        **_PA,
+    )
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL count-distinct of event users: one sketch per batch, merged in a
+    tiny reduce (no shuffle of raw keys). Rows-only — the ±2% error band vs
+    the exact count is unit-tested."""
+    from .functions.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog().add_many(t["user_id"].to_numpy().astype(np.uint64))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(sketch, **_PA).iter_batches(batch_format="pyarrow"):
+        for blob in b["sketch"].to_pylist():
+            s = HyperLogLog.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+    est = int(round(merged.estimate())) if merged is not None else 0
+    return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
+QUERIES.update(
+    {
+        "bucketed_join": q_bucketed_join,
+        "approx_distinct_users": q_approx_distinct_users,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "bucketed_join": """
+            SELECT o_orderpriority,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+    }
+)

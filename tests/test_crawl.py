@@ -115,3 +115,44 @@ class TestResume:
             assert eng2.images.count_rows() == oracle_result.images.num_rows
         finally:
             eng2.shutdown_shards()
+
+
+class TestCrashWindow:
+    """Crash AFTER the images/order manifests committed but BEFORE the
+    frontier manifest (the authoritative wave commit): the re-run must not
+    double-register image rows and must still match the oracle."""
+
+    def test_partial_commit_rerun(self, ray_session, oracle_result, tmp_path_factory):
+        import os
+
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+        root = str(tmp_path_factory.mktemp("crawl") / "crash")
+        eng = CrawlEngine.start(root, CFG, num_partitions=P, num_shards=S, wave_cap_per_partition=K, fetch_buckets=4)
+        eng.run(max_waves=2)  # waves 0..1 committed
+        eng.shutdown_shards()
+
+        # run wave 2, then simulate the crash window by deleting ONLY the
+        # frontier manifest (images/order manifests stay committed)
+        eng2 = CrawlEngine.resume(root)
+        eng2.run_wave(2)
+        eng2.shutdown_shards()
+        os.remove(os.path.join(root, "frontier", "manifest-w00002.json"))
+
+        eng3 = CrawlEngine.resume(root)
+        assert eng3.frontier.latest_wave() == 1  # wave 2 looks uncommitted
+        eng3.run(max_waves=WAVES)  # re-runs wave 2, then 3
+        try:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            eng_seen = np.sort(eng3.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy())
+            assert np.array_equal(eng_seen, oracle_result.seen)
+            ei = eng3.images.to_arrow(columns=["image_id"])
+            ids = ei["image_id"].to_pylist()
+            assert len(ids) == len(set(ids)), "duplicate image rows after crash re-run"
+            assert len(ids) == oracle_result.images.num_rows
+            eo = eng3.crawl_order()
+            assert np.array_equal(eo["url_hash"].to_numpy(), oracle_result.order["url_hash"].to_numpy())
+        finally:
+            eng3.shutdown_shards()
