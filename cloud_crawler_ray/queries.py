@@ -1142,3 +1142,70 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_phash_neardup(sf_dir: str):
+    """Perceptual-hash near-dup detection over images — the north_star's
+    image-dedup extension: phash per image (actor pool) → block by 16-bit
+    phash bands (an LSH for Hamming space: near-dups share ≥1 band) →
+    verify pairs by full Hamming distance ≤ 8. Rows-only; the synthetic
+    image set plants true near-dups (groups of 3 share a base image with
+    increasing noise).
+    """
+    from .functions import imaging
+    from .functions.text import hamming64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def make_and_hash(t: pa.Table) -> pa.Table:
+        ids, phs = [], []
+        for d in t["doc_id"].to_pylist():
+            base = imaging.synth_image(d // 3, 32, 32)  # 3 docs share a base image
+            rng = np.random.Generator(np.random.PCG64(d))
+            noisy = np.clip(base.astype(np.int16) + rng.integers(-2 * (d % 3), 2 * (d % 3) + 1, base.shape), 0, 255)
+            ids.append(np.int64(d))
+            phs.append(imaging.phash64(noisy.astype(np.uint8)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "phash": pa.array(phs, pa.int64())})
+
+    hashed = ds.map_batches(make_and_hash, batch_size=128, **_PA)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy().astype(np.uint64)
+        out_doc, out_band, out_key, out_ph = [], [], [], []
+        for b in range(4):  # 4 x 16-bit bands
+            key = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_doc.append(t["doc_id"].to_numpy())
+            out_band.append(np.full(len(ph), b, np.int32))
+            out_key.append(key)
+            out_ph.append(t["phash"].to_numpy())
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "phash": pa.array(np.concatenate(out_ph), pa.int64()),
+                "bucket": pa.array((np.concatenate(out_key) % 64).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated(["band", "key"], keep=False)
+        g = g[dup]
+        if not len(g):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        m = g.merge(g, on=["band", "key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        d = hamming64(m["phash_x"].to_numpy(), m["phash_y"].to_numpy())
+        keep = d <= 8
+        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy()[keep], "doc_b": m["doc_id_y"].to_numpy()[keep],
+                             "hamming": d[keep]})
+
+    cand = hashed.map_batches(explode_bands, **_PA).groupby("bucket").map_groups(pairs_bucket, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+QUERIES["phash_neardup"] = q_phash_neardup
