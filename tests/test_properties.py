@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the core kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cloud_crawler_ray.functions import hashing, imaging, urls
+from cloud_crawler_ray.state.seen import SeenSet
+
+url_path = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-", min_size=0, max_size=40)
+host = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+
+
+class TestHashProperties:
+    @given(st.lists(st.text(min_size=0, max_size=200), min_size=1, max_size=50))
+    @settings(max_examples=50, deadline=None)
+    def test_batch_matches_scalar(self, strs):
+        h = hashing.hash64(strs)
+        for i in (0, len(strs) - 1):
+            assert int(h[i]) == hashing.hash64_scalar(strs[i])
+
+    @given(st.text(min_size=0, max_size=100), st.text(min_size=0, max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_equal_iff_same(self, a, b):
+        ha, hb = hashing.hash64_scalar(a), hashing.hash64_scalar(b)
+        if a == b:
+            assert ha == hb
+        else:
+            assert ha != hb  # 64-bit collision in 100 examples ≈ impossible
+
+
+class TestUrlProperties:
+    @given(st.builds(lambda s, h, p: f"{s}://{h}/{p}", st.sampled_from(["http", "https", "HTTP", "Https"]), host, url_path))
+    @settings(max_examples=100, deadline=None)
+    def test_canonicalize_idempotent(self, url):
+        once = urls.canonicalize([url])[0].as_py()
+        assert once is not None
+        twice = urls.canonicalize([once])[0].as_py()
+        assert once == twice
+
+    @given(host, url_path)
+    @settings(max_examples=50, deadline=None)
+    def test_resolve_then_canonicalize_host_preserved(self, h, p):
+        resolved = urls.resolve_links([f"/{p}"], "http", h)[0].as_py()
+        canon = urls.canonicalize([resolved])[0].as_py()
+        assert urls.extract_host([canon])[0].as_py() == h
+
+
+class TestImagingProperties:
+    @given(st.integers(0, 2**32 - 1), st.integers(16, 40), st.integers(16, 40))
+    @settings(max_examples=20, deadline=None)
+    def test_png_roundtrip_any_size(self, seed, w, h):
+        img = imaging.synth_image(seed, w, h)
+        assert np.array_equal(imaging.decode_png(imaging.encode_png(img)), img)
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=20, deadline=None)
+    def test_q6_psnr_bound(self, seed):
+        img = imaging.synth_image(seed, 24, 24)
+        rec = imaging.decode_q6(imaging.encode_q6(img), 24, 24)
+        assert imaging.psnr(img, rec) >= 40.0
+
+
+class TestSeenSetProperties:
+    @given(st.lists(st.lists(st.integers(0, 300), min_size=0, max_size=50), min_size=1, max_size=10))
+    @settings(max_examples=30, deadline=None)
+    def test_matches_python_set(self, batches):
+        s = SeenSet(merge_threshold=16)
+        ref: set[int] = set()
+        for batch in batches:
+            arr = np.array(batch, np.uint64) if batch else np.zeros(0, np.uint64)
+            new = s.check_and_add(arr)
+            for j, k in enumerate(batch):
+                expected = k not in ref and k not in batch[:j]
+                assert bool(new[j]) == expected
+                ref.add(k)
+        assert len(s) == len(ref)
