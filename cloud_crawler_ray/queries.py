@@ -1209,3 +1209,44 @@ def q_phash_neardup(sf_dir: str):
 
 
 QUERIES["phash_neardup"] = q_phash_neardup
+
+
+def q_native_join(sf_dir: str):
+    """Hash-partitioned large-large join via Ray Data's native ``Dataset.join``
+    (complement to q_bucketed_join's portable pattern): lineitem ⋈ orders,
+    revenue per order status."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev4": pa.array(
+                    np.round(t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()) * 1e4).astype(np.int64)
+                ),
+            }
+        ),
+        **_PA,
+    )
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    n_parts = int(max(2, min(32, ray.cluster_resources().get("CPU", 8) // 2)))  # aggregator actors need slots
+    joined = li.join(od, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("o_orderstatus").aggregate(Sum("rev4", alias_name="rev4"), Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "revenue": pc.divide(pc.cast(t["rev4"], pa.float64()), 1e4),
+                "n": t["n"],
+            }
+        ),
+        **_PA,
+    )
+
+
+QUERIES["native_join"] = q_native_join
+ORACLE_SQL["native_join"] = """
+    SELECT o_orderstatus,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+"""
