@@ -371,6 +371,20 @@ class CrawlEngine:
         return {"wave": wave, **meta}
 
     # --------------------------------------------------------------- export
+    def metrics_table(self) -> pa.Table:
+        """Per-wave metrics from the committed manifests (the notification /
+        events-log analog, BaseNotification.scala:3-5 → metrics rows)."""
+        rows = []
+        for w in range(self.frontier.latest_wave() + 1):
+            try:
+                m = self.frontier.manifest(w)
+            except FileNotFoundError:
+                continue
+            rows.append({"wave": w, **{k: v for k, v in m.get("meta", {}).items() if isinstance(v, (int, float))}})
+        if not rows:
+            return pa.table({"wave": pa.array([], pa.int32())})
+        return pa.Table.from_pylist(rows)
+
     def crawl_order(self) -> pa.Table:
         """Global crawl order: (wave, vtime, url_hash) sort + fetch_seq."""
         t = self.order.to_arrow()

@@ -53,3 +53,23 @@ class TestRunCrawl:
         assert r1["waves_run"] >= 1
         r2 = run_crawl(root, cfg, max_waves=4)  # resumes past wave 2
         assert all(m["wave"] >= 2 for m in r2["metrics"])
+
+
+class TestJobCLI:
+    def test_job_cli_runs_and_resumes(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        root = str(tmp_path / "job_cli")
+        cmd = [sys.executable, "-m", "cloud_crawler_ray.job", "--root", root,
+               "--hosts", "4", "--pages", "20", "--seed-hosts", "2", "--waves", "2",
+               "--partitions", "2", "--shards", "1", "--wave-cap", "8", "--num-cpus", "4"]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", check=True).stdout
+        events = [json.loads(line) for line in out.strip().splitlines()]
+        assert events[-1]["event"] == "summary" and events[-1]["waves_run"] >= 1
+        # resume continues past wave 2
+        cmd[cmd.index("--waves") + 1] = "3"
+        out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", check=True).stdout
+        waves = [json.loads(line)["wave"] for line in out2.strip().splitlines() if '"wave"' in line and '"event": "wave"' in line]
+        assert all(w >= 2 for w in waves)
