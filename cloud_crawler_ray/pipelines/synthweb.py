@@ -20,7 +20,7 @@ Every property derives from ``splitmix64(url_hash ^ salt)`` — no RNG state.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
