@@ -305,7 +305,7 @@ def q_windowed_agg(sf_dir: str):
         lambda t: pa.table(
             {
                 "user_id": t["user_id"],
-                "window_start": t["window_start"],
+                "window_start": t["window_start"].cast(pa.timestamp("us")),
                 "n_events": t["n_events"],
                 "sum_value": pc.divide(pc.cast(t["v2"], pa.float64()), 1e2),
             }
@@ -688,7 +688,7 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id, min(ts) AS session_start,
