@@ -40,8 +40,10 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray | list) -> pa.Array:
     scheme = pc.ascii_lower(pc.struct_field(parts, "scheme"))
     host = pc.ascii_lower(pc.struct_field(parts, "host"))
     rest = pc.struct_field(parts, "rest")
-    # strip default ports
-    host = pc.replace_substring_regex(host, r":80$", "")
+    # strip default ports — only the scheme's own default (http://h:80 ≡
+    # http://h but https://h:80 is a distinct non-default-port URL)
+    http = pc.equal(scheme, "http")
+    host = pc.if_else(http, pc.replace_substring_regex(host, r":80$", ""), host)
     https = pc.equal(scheme, "https")
     host = pc.if_else(
         https, pc.replace_substring_regex(host, r":443$", ""), host
@@ -49,6 +51,14 @@ def canonicalize(urls: pa.Array | pa.ChunkedArray | list) -> pa.Array:
     # empty path → "/"
     rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/"), rest)
     out = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def extract_scheme(urls: pa.Array | pa.ChunkedArray | list) -> pa.Array:
+    """Lowercased scheme of each absolute http(s) URL; non-URLs → null."""
+    urls = _as_chunkless(urls)
+    parts = pc.extract_regex(urls, _URL_RE)
+    out = pc.ascii_lower(pc.struct_field(parts, "scheme"))
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 

@@ -21,6 +21,9 @@ text analysis, windowed/sessionized events) the north_rule adds.
 
 from __future__ import annotations
 
+import contextlib
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,24 +38,42 @@ from .functions.hashing import hash64
 _PA = {"batch_format": "pyarrow"}
 
 
-def _tune_context() -> None:
+@contextlib.contextmanager
+def _tuned_context():
     """Size Ray Data's default shuffle/read parallelism to the machine.
 
     The stock defaults (min_parallelism=200, read_op_min_num_blocks=200)
     spawn hundreds of near-empty tasks per groupby/sort at these data
     sizes; the natural parallelism is a small multiple of the CPU count.
-    Called once at import — these queries are the only pipelines in the
-    session (driver gate / bench / tests).
+    Applied save/mutate/restore around query construction — datasets
+    snapshot ``DataContext.get_current().copy()`` at creation, so the
+    tuning sticks to the query's datasets without leaking into the global
+    context of co-resident pipelines.
     """
     import multiprocessing
 
     ncpu = multiprocessing.cpu_count()
     ctx = rd.DataContext.get_current()
+    saved = (ctx.min_parallelism, ctx.read_op_min_num_blocks)
     ctx.min_parallelism = min(200, max(32, 2 * ncpu))
     ctx.read_op_min_num_blocks = min(200, max(16, ncpu))
+    try:
+        yield
+    finally:
+        ctx.min_parallelism, ctx.read_op_min_num_blocks = saved
 
 
-_tune_context()
+def _tuned(fn):
+    """Wrap a query builder so it constructs its datasets under the tuned
+    context (applied to every registered query at the bottom of the module)."""
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        with _tuned_context():
+            return fn(*a, **kw)
+
+    wrapper.__wrapped_untuned__ = fn
+    return wrapper
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1250,3 +1271,14 @@ ORACLE_SQL["native_join"] = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
 """
+
+
+# Apply the tuned-context wrapper to every registered query — and rebind the
+# module attribute so direct q_* callers (tests, bench) get it too.
+for _name, _fn in list(QUERIES.items()):
+    if not hasattr(_fn, "__wrapped_untuned__"):
+        _w = _tuned(_fn)
+        QUERIES[_name] = _w
+        globals()[_fn.__name__] = _w
+del _name, _fn, _w
+flagship = _tuned(flagship)

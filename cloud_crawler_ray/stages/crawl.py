@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..functions.hashing import hash64
-from ..functions.urls import canonicalize, extract_host, host_partition, resolve_links
+from ..functions.urls import canonicalize, extract_host, extract_scheme, host_partition, resolve_links
 from ..pipelines import semantics as sem
 from ..pipelines import synthweb as sw
 from ..state.bloom import BloomFilter
@@ -238,8 +238,11 @@ def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> p
     parent_hash = t["url_hash"].to_numpy()[rep]
     child_depth = (t["depth"].to_numpy()[rep] + 1).astype(np.int32)
     parent_host = pc.take(t["host"], pa.array(rep))
+    # scheme derives from each parent URL (oracle parity: _canon_candidates
+    # splits the parent on "://") — an https parent resolves /links to https
+    parent_scheme = pc.take(extract_scheme(t["url"]), pa.array(rep))
 
-    resolved = resolve_links(flat_hrefs, pa.array(["http"] * len(flat_hrefs), pa.string()), parent_host)
+    resolved = resolve_links(flat_hrefs, parent_scheme, parent_host)
     canon = canonicalize(resolved.fill_null(""))
     valid = pc.is_valid(canon)
     canon = canon.filter(valid)
@@ -275,16 +278,44 @@ class DedupShard:
 
     def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 0):
         self.shard_id = shard_id
+        self.capacity = capacity
+        self.seed = seed
         self.bloom = BloomFilter(capacity, seed=seed ^ shard_id)
         self.cuckoo = CuckooFilter(capacity, seed=seed ^ shard_id)
         self.exact = SeenSet()
 
+    def _ensure_capacity(self, n_new: int) -> bool:
+        """Grow the approximate filters when the seen set outgrows them.
+
+        The cuckoo filter hard-fails past ~95% load and the bloom FP rate
+        degrades, so when the projected load crosses 85% both are rebuilt at
+        ≥2x from the exact set (the authority — rebuild cannot lose keys).
+        Amortized O(1) per key, same growth discipline as a hash table.
+        """
+        target = len(self.exact) + n_new
+        if target <= 0.85 * self.cuckoo.num_buckets * 4:
+            return False
+        self.capacity = max(2 * self.capacity, int(target * 2))
+        self.bloom = BloomFilter(self.capacity, seed=self.seed ^ self.shard_id)
+        self.cuckoo = CuckooFilter(self.capacity, seed=self.seed ^ self.shard_id)
+        keys = self.exact.snapshot()["base"]
+        if len(keys):
+            self.bloom.add_many(keys)
+            self.cuckoo.add_many(keys)
+        return True
+
+    def _register(self, fresh: np.ndarray) -> None:
+        """Add newly-seen keys to the approximate filters (exact set already
+        holds them); a capacity rebuild re-inserts everything from exact, in
+        which case ``fresh`` must not be double-inserted."""
+        if not self._ensure_capacity(0):
+            self.bloom.add_many(fresh)
+            self.cuckoo.add_many(fresh)
+
     def bootstrap(self, hashes: np.ndarray) -> int:
         """Load hashes known seen (from the committed frontier on resume)."""
         new = self.exact.check_and_add(hashes)
-        fresh = np.unique(hashes[new])
-        self.bloom.add_many(fresh)
-        self.cuckoo.add_many(fresh)
+        self._register(np.unique(hashes[new]))
         return int(new.sum())
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
@@ -303,8 +334,7 @@ class DedupShard:
             new[idx] = ~self.exact.contains_many(hashes[idx])
         fresh = np.unique(hashes[new])
         self.exact.add_many(fresh)
-        self.bloom.add_many(fresh)
-        self.cuckoo.add_many(fresh)
+        self._register(fresh)
         return new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -328,8 +358,7 @@ class DedupShard:
         new = ~self.exact.contains_many(hashes)
         fresh = hashes[new]
         self.exact.add_many(fresh)
-        self.bloom.add_many(fresh)
-        self.cuckoo.add_many(fresh)
+        self._register(fresh)
         return int(new.sum())
 
     def stats(self) -> dict:

@@ -156,3 +156,27 @@ class TestCrashWindow:
             assert np.array_equal(eo["url_hash"].to_numpy(), oracle_result.order["url_hash"].to_numpy())
         finally:
             eng3.shutdown_shards()
+
+
+def test_dedup_shard_grows_past_initial_capacity(ray_session):
+    """A shard started with a tiny filter capacity must resize itself as the
+    seen set grows (ADVICE r1: fixed-at-bootstrap cuckoo capacity crashed the
+    wave with "cuckoo filter full" once the crawl outgrew the seed frontier)."""
+    import ray
+
+    from cloud_crawler_ray.stages.crawl import DedupShard
+
+    shard = DedupShard.remote(0, capacity=1024, seed=1)
+    try:
+        rng = np.random.Generator(np.random.PCG64(5))
+        keys = rng.integers(1, 2**63, 50_000, dtype=np.uint64)
+        ray.get(shard.bootstrap.remote(keys[:25_000]))
+        ray.get(shard.add_seen.remote(keys[25_000:]))  # 50x the bootstrap capacity
+        uniq = np.unique(keys)
+        new = ray.get(shard.check_and_add.remote(uniq))
+        assert not new.any(), "keys added before the resize were forgotten"
+        stats = ray.get(shard.stats.remote())
+        assert stats["exact"] == len(uniq)
+        assert stats["cuckoo_load"] < 0.9
+    finally:
+        ray.kill(shard)

@@ -67,9 +67,19 @@ class TestUrls:
             None,
         ]
 
+    def test_default_port_strip_is_scheme_specific(self):
+        out = urls.canonicalize(
+            ["https://a.com:80/x", "http://a.com:443/x", "http://a.com:80/x", "https://a.com:443/x"]
+        ).to_pylist()
+        assert out == ["https://a.com:80/x", "http://a.com:443/x", "http://a.com/x", "https://a.com/x"]
+
     def test_extract_host(self):
         out = urls.extract_host(["http://A.com:8080/x", "https://b.org/"]).to_pylist()
         assert out == ["a.com", "b.org"]
+
+    def test_extract_scheme(self):
+        out = urls.extract_scheme(["HTTPS://a.com/x", "http://b.org/", "junk"]).to_pylist()
+        assert out == ["https", "http", None]
 
     def test_resolve_links(self):
         out = urls.resolve_links(
