@@ -9,9 +9,43 @@ Maps the reference hooks (SURVEY.md §2.11):
   ConfigurablePipeline {batchSize, resourceType, ...}       → CrawlJobConfig
   WorkerApp.addWarmUpPipeline(...).run()                    → run_crawl()
 
-Each hook is a *batch-level* callable (Arrow table in/out) instead of the
-reference's per-record trait methods; the defaults are the synthetic-web
-stages, and a user swaps in their own fetcher/parser/sinks.
+Unlike round 1, the hooks are EXECUTED: CrawlEngine threads them through the
+claim/fetch/commit stages (pipelines/wave.py), so a user registers a custom
+fetcher + parser + validator + sinks and the engine crawls with them — the
+worker-library contract of the reference (consumer example
+simple-worker/.../App.scala:12-32).
+
+Hook contracts
+--------------
+fetcher(url, url_hash, attempt, try_idx, ua) -> (kind, body)
+    kind ∈ {"ok","not_found","parse_error","io_error","banned"}; body is an
+    arbitrary bytes/str payload (or None). Called inside the politeness
+    state machine (semantics.fetch_host_wave) — one call per try, rate-
+    limited by the host token bucket, ban/circuit-breaker routing applied.
+    A fetcher with a truthy ``light`` attribute declares its outcome a pure
+    function of (url, url_hash): the engine then runs the state machine in
+    the claim task and spreads parse/decode work over uniform batches (the
+    hot-host salting path); bodies are NOT retained in light mode.
+parser(url, url_hash, body) -> (links, record)
+    links: raw hrefs for frontier expansion; record: anything picklable to
+    hand to save_parsed (or None). Raising → status PARSE_FAILED
+    (ParsingException → taskParsingFailed). In light mode the parser is
+    invoked with body=None and must derive output from (url, url_hash).
+validator(table: pa.Table) -> bool mask (True = crawl)
+    Batch predicate over the claimed rows (columns url, url_hash, host,
+    depth, attempt, ...). Rejected rows are marked SKIPPED without fetching
+    (BatchTasksValidator.scala:5-7; skip path TasksBatchController.scala:
+    115-120) — they consume wave slots but no politeness budget.
+save_parsed(table: pa.Table) -> pa.Table
+    Row-shaper for the parsed-output table: receives the wave's DONE rows
+    (with a ``record`` column for user parsers), returns the rows to append
+    to the job's parsed table (root/images). The engine owns fragment
+    writes + manifest commits (SaveParsedProvider analog — persistence is
+    the engine's LanceLikeTable; pluggable filesystems cover the S3/Mongo
+    sink variants).
+save_raw(table: pa.Table) -> pa.Table
+    Same, for raw fetch bodies (root/raw; SaveRawProvider analog). Requires
+    a non-light fetcher (bodies are only retained on the io path).
 """
 
 from __future__ import annotations
@@ -24,16 +58,7 @@ from . import synthweb as sw
 
 @dataclass(frozen=True)
 class CrawlPipeline:
-    """The user-extension bundle (Pipeline.scala:10-18 analog).
-
-    fetcher     — batch fetch fn (url rows → body/outcome rows); required
-    parser      — batch parse fn (body rows → parsed rows + out-links)
-    save_parsed — sink for parsed rows (required iff parser given)
-    save_raw    — sink for raw payload rows (optional)
-    validator   — batch predicate marking rows to skip pre-fetch (optional;
-                  BatchTasksValidator.scala:5-7 analog)
-    task_type   — pipeline name (routing key)
-    """
+    """The user-extension bundle (Pipeline.scala:10-18 analog)."""
 
     task_type: str
     fetcher: Callable
@@ -48,6 +73,26 @@ class CrawlPipeline:
             raise ValueError("crawler/fetcher is required")
         if (self.parser is None) != (self.save_parsed is None):
             raise ValueError("parser and save_parsed must be provided together (both or neither)")
+        if self.save_raw is not None and self.light:
+            raise ValueError("save_raw requires a non-light fetcher (bodies are not retained in light mode)")
+
+    @property
+    def light(self) -> bool:
+        """True → claim-task state machine + uniform downstream parse/decode."""
+        return bool(getattr(self.fetcher, "light", False))
+
+
+def synthetic_pipeline(cfg: sw.WebConfig) -> CrawlPipeline:
+    """The default pipeline: synthetic-web crawler + parser + image sink
+    (what simple-worker's HabrPipeline is to the reference library)."""
+    from ..stages.crawl import make_image_sink
+
+    return CrawlPipeline(
+        task_type="synthweb-images",
+        fetcher=sw.SyntheticWebFetcher(cfg),
+        parser=sw.SyntheticWebParser(cfg),
+        save_parsed=make_image_sink(cfg),
+    )
 
 
 @dataclass(frozen=True)
@@ -60,6 +105,7 @@ class CrawlJobConfig:
     wave_cap_per_partition: int = 50  # workerBatchSize analog
     max_waves: int = 20
     decode_batch_size: int = 64
+    compact_files: int = 8  # consolidate a partition when its file list reaches this
 
 
 def build_pipeline(task_type: str, fetcher: Callable, **hooks) -> CrawlPipeline:
@@ -67,19 +113,26 @@ def build_pipeline(task_type: str, fetcher: Callable, **hooks) -> CrawlPipeline:
     return CrawlPipeline(task_type=task_type, fetcher=fetcher, **hooks)
 
 
-def run_crawl(root: str, config: CrawlJobConfig, max_waves: int | None = None) -> dict:
+def run_crawl(
+    root: str,
+    config: CrawlJobConfig,
+    max_waves: int | None = None,
+    pipeline: CrawlPipeline | None = None,
+) -> dict:
     """WorkerApp.run analog: start (or resume) a crawl job at ``root``.
 
     Ray must already be initialised by the caller (driver/bench/test owns
     the session). Resumes from the last committed wave if ``root`` holds a
-    previous run.
+    previous run. ``pipeline=None`` → the synthetic default; a resumed job
+    must be given the same pipeline it started with (hooks are code, not
+    state — only the config is persisted).
     """
     import os
 
     from .wave import CrawlEngine
 
     if os.path.exists(os.path.join(root, "config.json")):
-        eng = CrawlEngine.resume(root)
+        eng = CrawlEngine.resume(root, pipeline=pipeline)
     else:
         eng = CrawlEngine.start(
             root,
@@ -88,6 +141,8 @@ def run_crawl(root: str, config: CrawlJobConfig, max_waves: int | None = None) -
             num_shards=config.num_shards,
             wave_cap_per_partition=config.wave_cap_per_partition,
             decode_batch_size=config.decode_batch_size,
+            compact_files=config.compact_files,
+            pipeline=pipeline,
         )
     try:
         return eng.run(max_waves=max_waves if max_waves is not None else config.max_waves)

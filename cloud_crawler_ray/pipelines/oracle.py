@@ -139,6 +139,8 @@ def run_oracle(
 
     # ---- outputs
     ordered = sorted(fetch_log, key=lambda t: (t[0], t[1], t[2]))
+    from ..functions.useragent import user_agents
+
     order = pa.table(
         {
             "fetch_seq": pa.array(range(len(ordered)), pa.int64()),
@@ -146,6 +148,9 @@ def run_oracle(
             "vtime": pa.array([t[1] for t in ordered], pa.int64()),
             "url_hash": pa.array([t[2] for t in ordered], pa.uint64()),
             "host": pa.array([t[3] for t in ordered], pa.string()),
+            # deterministic per-request UA (UserAgentGenerator analog) — the
+            # engine records the identical column in its order fragments
+            "ua": pa.array(user_agents(np.array([t[2] for t in ordered], np.uint64)), pa.string()),
         }
     )
     rl = sorted(rows.values(), key=lambda r: r["url_hash"])

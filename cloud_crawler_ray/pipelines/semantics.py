@@ -64,6 +64,8 @@ class HostWaveResult:
     vtime: np.ndarray  # int64 virtual ms, -1 if never fetched
     fetched: np.ndarray  # bool — consumed politeness budget
     links: list[list[str] | None]  # raw hrefs per row (None unless DONE)
+    records: list | None = None  # user-parser records per row (save_parsed path)
+    bodies: list | None = None  # raw fetch bodies per row (save_raw path)
 
 
 def domain_sort_key(discovered_at: np.ndarray, priority: np.ndarray, url_hash: np.ndarray) -> np.ndarray:
@@ -89,8 +91,33 @@ def fetch_host_wave(
     url_hash: np.ndarray,
     attempt: np.ndarray,
     cfg: sw.WebConfig,
+    fetcher=None,
+    parser=None,
+    collect_links: bool = True,
+    collect_records: bool = False,
+    collect_bodies: bool = False,
 ) -> HostWaveResult:
-    """Run one host's wave fetch. Inputs MUST already be rule-(b) sorted."""
+    """Run one host's wave fetch. Inputs MUST already be rule-(b) sorted.
+
+    Extension surface (the reference's BaseCrawler / BaseParser layering,
+    Pipeline.scala:10-18):
+
+    * ``fetcher(url, url_hash, attempt, try_idx, ua) -> (kind, body)`` with
+      kind in {"ok","not_found","parse_error","io_error","banned"}. ``None``
+      — or the built-in SyntheticWebFetcher — selects the synthetic-web
+      fast path (vectorized outcome precompute + synthetic robots,
+      SURVEY.md §3.3). Custom fetchers get no robots
+      handling: pre-fetch skipping is the validator hook's job
+      (BatchTasksValidator analog).
+    * ``parser(url, url_hash, body) -> (links, record)``; raising routes the
+      row to PARSE_FAILED exactly like the reference's ParsingException →
+      taskParsingFailed (TasksBatchController.scala:152-158). ``None`` with
+      the synthetic path falls back to the synthetic out-links.
+    * ``collect_links=False`` skips link/parse work entirely (statuses and
+      the politeness schedule only) — the claim-task "light" mode: per-row
+      parse/decode work then runs in uniform downstream batches, which is
+      what keeps a hot host from serializing a whole wave behind one task.
+    """
     n = len(url)
     host_h = hash64_scalar(host, seed=cfg.seed)
     center, radius, capacity = sw.host_politeness(host, cfg)
@@ -101,10 +128,41 @@ def fetch_host_wave(
     vtime = np.full(n, -1, np.int64)
     fetched = np.zeros(n, bool)
     links: list[list[str] | None] = [None] * n
+    records: list = [None] * n
+    bodies: list = [None] * n
 
-    page_ids = sw.page_id_of(url)
-    disallowed = sw.robots_disallowed(host, page_ids, cfg)
-    outcomes = sw.outcome_for(url_hash, cfg)
+    # only the built-in synthetic fetcher takes the vectorized fast path; a
+    # custom fetcher (even a light one) must actually be invoked per try
+    synthetic = fetcher is None or isinstance(fetcher, sw.SyntheticWebFetcher)
+    if synthetic:
+        page_ids = sw.page_id_of(url)
+        disallowed = sw.robots_disallowed(host, page_ids, cfg)
+        outcomes = sw.outcome_for(url_hash, cfg)
+
+        def try_fetch(i: int, try_idx: int):
+            return sw.try_result(outcomes[i], try_idx), None
+
+    else:
+        from ..functions.useragent import user_agents
+
+        disallowed = np.zeros(n, bool)
+        uas = user_agents(url_hash)
+
+        def try_fetch(i: int, try_idx: int):
+            return fetcher(url[i], int(url_hash[i]), int(attempt[i]), try_idx, uas[i])
+
+    if parser is not None:
+
+        def parse_row(i: int, body):
+            return parser(url[i], int(url_hash[i]), body)
+
+    elif synthetic and collect_links:
+
+        def parse_row(i: int, body):
+            return sw.out_links(url[i], int(url_hash[i]), cfg), None
+
+    else:
+        parse_row = None
 
     frozen = False  # ban freeze (slot ban analog)
     tripped = False  # circuit breaker (NoResourcesAvailable analog)
@@ -116,22 +174,31 @@ def fetch_host_wave(
         if disallowed[i]:
             status[i] = SKIPPED  # robots: no fetch, no budget consumed
             continue
-        outcome = outcomes[i]
         first_t = -1
-        res = "io_error"
+        res, body = "io_error", None
         for try_idx in range(cfg.in_wave_tries):
             t = int(bucket.schedule(1)[0])
             if first_t < 0:
                 first_t = t
-            res = sw.try_result(outcome, try_idx)
+            res, body = try_fetch(i, try_idx)
             if res != "io_error":
                 break
         vtime[i] = first_t
         fetched[i] = True
         if res == "ok":
-            status[i] = DONE
             consec_io = 0
-            links[i] = sw.out_links(url[i], int(url_hash[i]), cfg)
+            status[i] = DONE
+            if parse_row is not None and (collect_links or collect_records):
+                try:
+                    lk, rec = parse_row(i, body)
+                    if collect_links:
+                        links[i] = lk if lk is not None else []
+                    if collect_records:
+                        records[i] = rec
+                except Exception:
+                    status[i] = PARSE_FAILED  # ParsingException → taskParsingFailed
+            if collect_bodies:
+                bodies[i] = body
         elif res == sw.OUTCOME_NOT_FOUND:
             status[i] = SKIPPED
             consec_io = 0
@@ -148,4 +215,13 @@ def fetch_host_wave(
             if consec_io >= cfg.circuit_break_after:
                 tripped = True
 
-    return HostWaveResult(url_hash, status, new_attempt, vtime, fetched, links)
+    return HostWaveResult(
+        url_hash,
+        status,
+        new_attempt,
+        vtime,
+        fetched,
+        links,
+        records if collect_records else None,
+        bodies if collect_bodies else None,
+    )

@@ -105,6 +105,38 @@ def try_result(outcome: str, try_idx: int) -> str:
     return outcome
 
 
+def outcome_for_scalar(url_hash: int, cfg: WebConfig) -> str:
+    return str(outcome_for(np.array([url_hash], _U64), cfg)[0])
+
+
+class SyntheticWebFetcher:
+    """The default pipeline's crawler (HabrCrawler.scala:12-24 analog) as a
+    per-call fetcher hook. ``light = True`` declares that outcomes are a pure
+    function of (url, url_hash) — the engine may then run the politeness
+    state machine inside the claim task and regenerate bodies downstream
+    (semantics.fetch_host_wave takes its vectorized fast path)."""
+
+    light = True
+
+    def __init__(self, cfg: WebConfig):
+        self.cfg = cfg
+
+    def __call__(self, url: str, url_hash: int, attempt: int, try_idx: int, ua: str):
+        return try_result(outcome_for_scalar(url_hash, self.cfg), try_idx), None
+
+
+class SyntheticWebParser:
+    """The default pipeline's parser (HabrParser.scala:16-29 analog): page →
+    out-links, no separate parsed record (the image payload is regenerated
+    from url_hash by the image sink). Accepts body=None (light contract)."""
+
+    def __init__(self, cfg: WebConfig):
+        self.cfg = cfg
+
+    def __call__(self, url: str, url_hash: int, body):
+        return out_links(url, int(url_hash), self.cfg), None
+
+
 def host_politeness(host: str, cfg: WebConfig) -> tuple[int, int, int]:
     """(center_ms, radius_ms, capacity) for a host — RandomTimeout analog."""
     h = hash64_scalar(host, seed=cfg.seed ^ 0xB0)

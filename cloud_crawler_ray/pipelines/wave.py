@@ -1,36 +1,45 @@
 """Distributed crawl engine: one Ray Data pipeline per wave, checkpointed.
 
 The Ray-native restatement of the reference crawl loop (SURVEY.md §3.4),
-engineered down to ONE all-to-all exchange per wave:
+round-2 shape — pipeline hooks threaded end-to-end, status-delta commits,
+pruned claims, host-level fetch fan-out:
 
-  execution 1 — claim+fetch+commit, zero exchanges:
-    partition manifest → map_batches(SelectFetchCommit): each task owns one
-    hostname-hash partition — reads its file list, takes the top-k claim
-    [rule (a)], runs politeness-ordered host fetches [rules (b)-(d)],
-    writes the consolidated partition version (status/attempt columns) and
-    the wave's crawl-order fragment, and emits light fetch rows.
+  execution 1 — claim (and for light pipelines, fetch):
+    partition manifest → map_batches(ClaimStage): one task per hostname-hash
+    partition folds ONLY the light columns (url_hash/priority/status/attempt
+    + deltas) for the top-k claim [rule (a)], row-group-takes the selected
+    rows' heavy columns, runs the validator hook (skip-routing), and — when
+    the pipeline's fetcher is light (outcome pure in url_hash, the synthetic
+    default) — the politeness-ordered host fetch [rules (b)-(d)]. io
+    pipelines instead tag rows with a per-(partition, host) fetch_group and
+    a groupby fans every host out to its own fetch task running the user's
+    fetcher/parser — a hot or slow host no longer serializes its partition.
 
-  execution 2 — three branches, one exchange:
-    DONE rows → DecodeWriteBatch  (image decode+phash+fragment write; plain
-                map_batches — bytes never cross an exchange)           ─┐
-    DONE rows → out-link explode/canonicalize → CheckRouter (sharded   ─┼→ union
-                bloom/cuckoo/exact seen pre-filter, check-only)         │  of tiny
-              → groupby(partition_id) → InsertPartition (wave keep-     │  metrics
-                first §4.3(c), exact anti-join, inserts file)          ─┘  rows
-    marker rows → manifest bookkeeping
+  execution 2 — branches, ONE all-to-all exchange:
+    DONE rows → SaveParsedBatch  (pipeline.save_parsed sink; image decode +
+                phash + fragment write for the synthetic default — bytes
+                never cross an exchange)                                ─┐
+    DONE rows → AttachParse (light) → out-link explode/canonicalize →   ─┼→ union
+                CheckRouter (sharded seen pre-filter, check-only)        │  of tiny
+    all rows  → status commit rows                                       │  metrics
+              → groupby(partition_id) → CommitPartition (status-delta    │  rows
+                file + order fragment + keep-first/anti-join inserts)   ─┘
+    body rows → SaveParsedBatch(save_raw) (io pipelines only)
 
-  then the driver writes the three manifests, frontier last (the wave
+  then the driver writes the table manifests, frontier last (the wave
   commit point).
 
 Master/gRPC/Akka from the reference disappear: the driver is the scheduler,
 Ray Data's streaming executor the dispatcher, partition ownership replaces
 the global claim lock (QueueTaskServiceImpl.scala:57-66).
 
-Scale notes: the only exchanged rows are pre-filtered out-link candidates
-(wave-sized, light columns); the frontier is read and written partition-
-wise; image bytes are produced and written at their destination task;
-every file name is deterministic in (wave, partition | content) so waves
-re-run idempotently after a crash.
+Scale notes: a wave commits O(wave)-sized delta files, not O(frontier)
+rewrites (compaction amortized over compact_files waves); claim reads are
+pruned to light columns + K selected rows; the only exchanged rows are
+pre-filtered out-link candidates and per-row status flips (both wave-sized,
+light columns); payload bytes are produced and written at their destination
+task; every file name is deterministic in (wave, partition | content) so
+waves re-run idempotently after a crash.
 """
 
 from __future__ import annotations
@@ -41,7 +50,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -50,98 +58,65 @@ from ..functions.urls import canonicalize, extract_host, host_partition
 from ..sources.frontier import FrontierStore
 from ..sources.lancelike import LanceLikeTable
 from ..stages.crawl import (
-    MARKER_STATUS,
+    COMMIT_SCHEMA,
+    IMAGES_SCHEMA,  # noqa: F401  (re-export; external callers read it from here)
+    ORDER_SCHEMA,  # noqa: F401
+    AttachParse,
     CheckRouter,
-    DecodeStage,
+    ClaimStage,
+    CommitPartition,
     DedupShard,
-    InsertPartition,
-    SelectFetchCommit,
+    FetchHostGroup,
+    SaveParsedBatch,
     extract_candidates,
 )
 from . import semantics as sem
 from . import synthweb as sw
+from .api import CrawlPipeline, synthetic_pipeline
 
 _PA = {"batch_format": "pyarrow"}
 
-IMAGES_SCHEMA = pa.schema(
-    [
-        ("image_id", pa.string()),
-        ("bytes", pa.binary()),
-        ("w", pa.int32()),
-        ("h", pa.int32()),
-        ("fmt", pa.string()),
-        ("caption", pa.string()),
-        ("phash", pa.int64()),
-        ("partition_id", pa.int32()),
-    ]
-)
 
-ORDER_SCHEMA = pa.schema(
-    [
-        ("wave", pa.int32()),
-        ("vtime", pa.int64()),
-        ("url_hash", pa.uint64()),
-        ("host", pa.string()),
-        ("partition_id", pa.int32()),
-    ]
-)
-
-_RESULT_SCHEMA = pa.schema(
-    [
-        ("src", pa.string()),
-        ("pid", pa.int32()),
-        ("rel", pa.string()),
-        ("rel2", pa.string()),
-        ("n1", pa.int64()),
-    ]
-)
-
-
-def _result_row(src: str, pid: int, rel: str = "", rel2: str = "", n1: int = 0) -> pa.Table:
-    """One metrics row — shared schema so all branches union into one
-    execution and the driver reads a single tiny result table."""
+def _as_commit_status(t: pa.Table) -> pa.Table:
+    n = t.num_rows
     return pa.table(
         {
-            "src": pa.array([src], pa.string()),
-            "pid": pa.array([pid], pa.int32()),
-            "rel": pa.array([rel], pa.string()),
-            "rel2": pa.array([rel2], pa.string()),
-            "n1": pa.array([n1], pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "partition_id": t["partition_id"],
+            "url": t["url"],
+            "url_hash": t["url_hash"],
+            "host": t["host"],
+            "depth": t["depth"],
+            "priority": t["priority"],
+            "parent_hash": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "link_index": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "status": t["status"],
+            "attempt": t["attempt"],
+            "vtime": t["vtime"],
+            "fetched": t["fetched"],
         }
-    )
+    ).cast(COMMIT_SCHEMA)
 
 
-def _empty_result() -> pa.Table:
-    return pa.table({f.name: pa.array([], f.type) for f in _RESULT_SCHEMA})
-
-
-class DecodeWriteBatch:
-    """Image decode + phash + fragment write, one fragment per input batch.
-
-    Plain ``map_batches`` over the DONE rows — no exchange at all for the
-    image path: bytes are produced exactly where the fragment is written,
-    and uniform batch sizes keep decode tasks even regardless of host or
-    partition skew (the hot-domain salting analog for the payload stage).
-    The fragment name derives from the batch's minimum url_hash (disjoint
-    batches → unique names); cross-run idempotency comes from the
-    commit-by-wave guard in run_wave, task-retry idempotency from
-    deterministic blocks of the materialized fetch output."""
-
-    def __init__(self, images_path: str, wave: int, cfg: sw.WebConfig):
-        self.images_path = images_path
-        self.wave = wave
-        self.decode = DecodeStage(cfg)
-        self.__name__ = f"DecodeWriteBatch(w{wave})"
-
-    def __call__(self, g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return _empty_result()
-        t = self.decode(g.select(["url_hash", "partition_id"]))
-        t = t.select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
-        t = t.take(pc.sort_indices(t, sort_keys=[("image_id", "ascending")]))
-        name = f"w{self.wave:05d}-h{int(g['url_hash'].to_numpy().min()):016x}"
-        rel = LanceLikeTable(self.images_path).write_fragment(t, name=name)
-        return _result_row("img", -1, rel=rel, n1=t.num_rows)
+def _as_commit_cand(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            "partition_id": t["partition_id"],
+            "url": t["url"],
+            "url_hash": t["url_hash"],
+            "host": t["host"],
+            "depth": t["depth"],
+            "priority": t["priority"],
+            "parent_hash": t["parent_hash"],
+            "link_index": t["link_index"],
+            "status": pa.array(np.full(n, sem.WAIT, np.int8), pa.int8()),
+            "attempt": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "vtime": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "fetched": pa.array(np.zeros(n, bool), pa.bool_()),
+        }
+    ).cast(COMMIT_SCHEMA)
 
 
 class CrawlEngine:
@@ -152,9 +127,11 @@ class CrawlEngine:
         num_partitions: int = 8,
         num_shards: int = 4,
         wave_cap_per_partition: int = 50,
-        fetch_buckets: int = 8,  # kept for config compat; partition tasks ARE the fetch buckets
+        fetch_buckets: int = 8,  # kept for config compat; host fetch groups ARE the buckets
         decode_batch_size: int = 64,
         decode_concurrency: int | None = None,
+        compact_files: int = 8,
+        pipeline: CrawlPipeline | None = None,
     ):
         self.root = root
         self.cfg = cfg
@@ -164,8 +141,11 @@ class CrawlEngine:
         self.B = fetch_buckets
         self.decode_batch_size = decode_batch_size
         self.decode_concurrency = decode_concurrency
+        self.compact_files = compact_files
+        self.pipeline = pipeline if pipeline is not None else synthetic_pipeline(cfg)
         self.frontier = FrontierStore(os.path.join(root, "frontier"), num_partitions)
-        self.images = LanceLikeTable(os.path.join(root, "images"))
+        self.images = LanceLikeTable(os.path.join(root, "images"))  # the pipeline's parsed table
+        self.raw = LanceLikeTable(os.path.join(root, "raw"))
         self.order = LanceLikeTable(os.path.join(root, "order"))
         self.shards: list | None = None
 
@@ -184,6 +164,8 @@ class CrawlEngine:
                     "wave_cap_per_partition": eng.K,
                     "fetch_buckets": eng.B,
                     "decode_batch_size": eng.decode_batch_size,
+                    "compact_files": eng.compact_files,
+                    "task_type": eng.pipeline.task_type,
                 },
                 f,
             )
@@ -191,11 +173,16 @@ class CrawlEngine:
         FrontierStore.initialize(eng.frontier.path, seeds, eng.P)
         LanceLikeTable.create(eng.images.path)
         LanceLikeTable.create(eng.order.path)
+        if eng.pipeline.save_raw is not None:
+            LanceLikeTable.create(eng.raw.path)
         return eng
 
     @classmethod
-    def resume(cls, root: str) -> "CrawlEngine":
-        """Reopen from the last committed wave manifest (kill-restart path)."""
+    def resume(cls, root: str, pipeline: CrawlPipeline | None = None) -> "CrawlEngine":
+        """Reopen from the last committed wave manifest (kill-restart path).
+
+        Hooks are code, not state: a custom-pipeline job must be resumed
+        with the same ``pipeline`` it started with (None → synthetic)."""
         with open(os.path.join(root, "config.json")) as f:
             c = json.load(f)
         raw = dict(c["cfg"])
@@ -209,6 +196,8 @@ class CrawlEngine:
             wave_cap_per_partition=c["wave_cap_per_partition"],
             fetch_buckets=c.get("fetch_buckets", 8),
             decode_batch_size=c.get("decode_batch_size", 64),
+            compact_files=c.get("compact_files", 8),
+            pipeline=pipeline,
         )
 
     def _seed_table(self) -> pa.Table:
@@ -247,7 +236,7 @@ class CrawlEngine:
         return self.shards
 
     def frontier_row_count(self) -> int:
-        return sum(pq.read_metadata(f).num_rows for f in self.frontier._all_files())
+        return self.frontier.base_row_count()
 
     # ---------------------------------------------------------------- waves
     def run(self, max_waves: int = 20) -> dict:
@@ -293,77 +282,113 @@ class CrawlEngine:
         import time as _time
 
         t_start = _time.time()
-        cfg, P = self.cfg, self.P
+        cfg, P, pl = self.cfg, self.P, self.pipeline
         shards = self._ensure_shards()
         part_files = self.frontier.partition_files()
         old_manifest = self.frontier.manifest()
 
-        # ---- execution 1: per-partition claim + fetch + status commit
+        # ---- execution 1: pruned per-partition claim (+ light fetch)
         parts_ds = rd.from_items(
             [{"pid": pid, "paths": paths} for pid, paths in sorted(part_files.items())]
         ).repartition(len(part_files))
-        stage1 = SelectFetchCommit(cfg, wave, self.K, self.frontier.path, self.order.path, P)
-        fetched = parts_ds.map_batches(stage1, batch_size=1, **_PA).materialize()
+        claimed = parts_ds.map_batches(ClaimStage(cfg, pl, wave, self.K), batch_size=1, **_PA)
+        if not pl.light:
+            # io fetch exchange: one task per (partition, host) fetch group
+            claimed = claimed.groupby("fetch_group").map_groups(
+                FetchHostGroup(cfg, pl, wave), batch_format="pyarrow"
+            )
+        fetched = claimed.materialize()
         n_rows = fetched.count()
-        t_fetch = _time.time() - t_start
+        t_claim = _time.time() - t_start
         if n_rows == 0:
             return None  # frontier drained — nothing claimed anywhere
 
-        # ---- execution 2: decode branch + insert branch + marker rows
+        # ---- execution 2: sink branches + the single commit exchange
         done = fetched.map_batches(lambda t: t.filter(pc.equal(t["status"], sem.DONE)), **_PA)
 
-        def markers_to_result(t: pa.Table) -> pa.Table:
-            m = t.filter(pc.equal(t["status"], MARKER_STATUS))
-            if m.num_rows == 0:
-                return _empty_result()
-            return pa.table(
-                {
-                    "src": pa.array(["main"] * m.num_rows, pa.string()),
-                    "pid": m["partition_id"],
-                    "rel": m["url"],
-                    "rel2": m["host"],
-                    "n1": m["vtime"],
-                }
+        branches = []
+        if pl.save_parsed is not None:
+            parsed_in = done
+            if pl.light and pl.parser is not None and not isinstance(pl.parser, sw.SyntheticWebParser):
+                # light user pipeline: records must be regenerated per row
+                parsed_in = done.map_batches(AttachParse(pl, want_records=True), **_PA)
+            branches.append(
+                parsed_in.map_batches(
+                    SaveParsedBatch(pl.save_parsed, self.images.path, wave, src="parsed"),
+                    batch_size=self.decode_batch_size,
+                    **_PA,
+                )
+            )
+        if pl.save_raw is not None:
+            raw_rows = fetched.map_batches(lambda t: t.filter(pc.is_valid(t["body"])), **_PA)
+            branches.append(
+                raw_rows.map_batches(
+                    SaveParsedBatch(pl.save_raw, self.raw.path, wave, src="raw"),
+                    batch_size=self.decode_batch_size,
+                    **_PA,
+                )
             )
 
-        marker_branch = fetched.map_batches(markers_to_result, **_PA)
-        img_branch = done.map_batches(
-            DecodeWriteBatch(self.images.path, wave, cfg), batch_size=self.decode_batch_size, **_PA
-        )
-        ins_branch = (
-            done.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
+        cand_src = done
+        if pl.light:
+            cand_src = done.map_batches(AttachParse(pl), **_PA)
+        cand_rows = (
+            cand_src.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
             .map_batches(CheckRouter(shards), **_PA)
-            .groupby("partition_id")
-            .map_groups(InsertPartition(self.frontier.path, P, wave, part_files, shards), batch_format="pandas")
+            .map_batches(_as_commit_cand, **_PA)
         )
-        res = marker_branch.union(img_branch).union(ins_branch).to_pandas()
-        t_commit = _time.time() - t_start - t_fetch
+        status_rows = fetched.map_batches(_as_commit_status, **_PA)
+        commit = (
+            status_rows.union(cand_rows)
+            .groupby("partition_id")
+            .map_groups(
+                CommitPartition(
+                    self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        for b in branches:
+            commit = commit.union(b)
+        res = commit.to_pandas()
+        t_commit = _time.time() - t_start - t_claim
 
-        mains = res[res["src"] == "main"]
-        n_selected = n_rows - len(mains)
+        stat = res[(res["src"] == "delta") | (res["src"] == "compact")]
+        n_selected = int(stat["n2"].sum())
         if n_selected == 0:
-            return None  # nothing crawled (consolidation-only markers possible)
+            return None
 
         # ---- manifests (frontier last = the wave commit point); a table
         # whose latest version already carries this wave id is not
         # re-committed (crash between commits → idempotent re-run)
-        imgs = res[res["src"] == "img"]
+        parsed = res[res["src"] == "parsed"]
+        raws = res[res["src"] == "raw"]
         ins = res[res["src"] == "ins"]
-        if self.images.manifest().get("meta", {}).get("wave") != wave:
-            self.images.commit([r for r in imgs["rel"] if r], meta={"wave": wave})
+        if pl.save_parsed is not None and self.images.manifest().get("meta", {}).get("wave") != wave:
+            self.images.commit([r for r in parsed["rel"] if r], meta={"wave": wave})
+        if pl.save_raw is not None and self.raw.manifest().get("meta", {}).get("wave") != wave:
+            self.raw.commit([r for r in raws["rel"] if r], meta={"wave": wave})
         if self.order.manifest().get("meta", {}).get("wave") != wave:
-            self.order.commit([r for r in mains["rel2"] if r], meta={"wave": wave})
+            self.order.commit([r for r in stat["rel2"] if r], meta={"wave": wave})
         part_lists = {int(k): list(v) for k, v in old_manifest["partitions"].items()}
-        for _, r in mains.iterrows():
-            part_lists[int(r["pid"])] = [r["rel"]]
+        frontier_bytes = 0
+        for _, r in stat.iterrows():
+            if r["src"] == "compact":
+                part_lists[int(r["pid"])] = [r["rel"]]
+            else:
+                part_lists[int(r["pid"])].append(r["rel"])
+            frontier_bytes += os.path.getsize(os.path.join(self.frontier.path, r["rel"]))
         for _, r in ins.iterrows():
             part_lists[int(r["pid"])].append(r["rel"])
+            frontier_bytes += os.path.getsize(os.path.join(self.frontier.path, r["rel"]))
         meta = {
-            "selected": int(n_selected),
-            "fetched": int(mains["n1"].sum()),
-            "done": int(imgs["n1"].sum()),
+            "selected": n_selected,
+            "fetched": int(stat["n1"].sum()),
+            "done": int(parsed["n1"].sum()) if len(parsed) else 0,
             "new": int(ins["n1"].sum()),
-            "t_fetch": round(t_fetch, 2),
+            "compacted": int((stat["src"] == "compact").sum()),
+            "frontier_bytes": int(frontier_bytes),
+            "t_claim": round(t_claim, 2),
             "t_commit": round(t_commit, 2),
         }
         self.frontier.commit(wave, part_lists, meta)

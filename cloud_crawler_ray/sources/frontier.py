@@ -1,24 +1,30 @@
-"""Partitioned, versioned frontier store with wave manifests.
+"""Partitioned, versioned frontier store with wave manifests + status deltas.
 
 The reference's frontier is a DB table with per-row status updates
 (MongoQueueTaskProvider.scala:151-159 / projects_url). Here it is P
 hostname-hash partitions (SURVEY.md §4.4); a wave commits a
 ``manifest-w{wave}.json`` mapping each partition to its current *file
-list* — a consolidated main file plus (optionally) that wave's inserts
-file:
+list*:
 
-    p0007/v00003.parquet        # main: all rows through wave 3's updates
-    p0007/ins00003.parquet      # rows discovered during wave 3
+    p0007/v00003.parquet        # main: full rows as of wave 3's compaction
+    p0007/ins00004.parquet      # rows discovered during wave 3
+    p0007/del00005.parquet      # (url_hash, status, attempt) flips of wave 4
 
-The next wave's claim task reads the list and writes a consolidated
-``v00004.parquet`` — compaction rides along with the claim, so no partition
-ever holds more than two files. Commits are manifest-last: a crash mid-wave
-leaves the previous manifest authoritative and the wave re-runs
-idempotently (deterministic file names — the lease-recovery analog,
-QueueTaskRecover.scala:31-46).
+Status commits are O(wave), not O(frontier): a wave writes one small
+``del*`` file per touched partition instead of rewriting the partition
+(round-1 write amplification: committing ~10^6 status flips rewrote the
+whole ~10^10-row frontier). Reads fold the list in order — base files
+(``v*``/``ins*``) concatenated, then each delta scattered onto
+status/attempt by url_hash. When a partition's list reaches
+``compact_files`` entries the wave's commit task consolidates it back to a
+single ``v*`` file, so read fan-in stays bounded.
+
+Commits are manifest-last: a crash mid-wave leaves the previous manifest
+authoritative and the wave re-runs idempotently (deterministic file names —
+the lease-recovery analog, QueueTaskRecover.scala:31-46).
 
 The frontier IS the URL-seen set (a URL enters at most once): dedup-shard
-actors are rebuilt from the partitions' ``url_hash`` column on resume — no
+actors are rebuilt from the base files' ``url_hash`` column on resume — no
 separate filter snapshot to keep consistent.
 """
 
@@ -28,6 +34,7 @@ import json
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -46,6 +53,86 @@ FRONTIER_SCHEMA = pa.schema(
         ("partition_id", pa.int32()),
     ]
 )
+
+DELTA_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.uint64()),
+        ("status", pa.int8()),
+        ("attempt", pa.int32()),
+    ]
+)
+
+# row groups small enough that a top-K claim's heavy-column take reads a
+# bounded slice of the partition, large enough for scan efficiency
+_ROW_GROUP_SIZE = 65_536
+
+_LIGHT = ("url_hash", "priority", "status", "attempt")
+
+
+def is_delta(path: str) -> bool:
+    return os.path.basename(path).startswith("del")
+
+
+def base_paths(paths: list[str]) -> list[str]:
+    """The files that carry full rows (v*/ins*), in list (= wave) order."""
+    return [p for p in paths if not is_delta(p)]
+
+
+def fold_paths(paths: list[str], columns: list[str] | None = None) -> pa.Table:
+    """Current partition state from its manifest file list.
+
+    Base files concat in order; deltas scatter (status, attempt) by
+    url_hash in order. Column pruning: deltas only touch status/attempt,
+    so requests not involving them skip delta reads entirely.
+    """
+    bases = base_paths(paths)
+    deltas = [p for p in paths if is_delta(p)]
+    need_fold = bool(deltas) and (columns is None or "status" in columns or "attempt" in columns)
+    read_cols = columns
+    if need_fold and columns is not None:
+        read_cols = list(dict.fromkeys([*columns, "url_hash", "status", "attempt"]))
+    t = pa.concat_tables([pq.read_table(p, columns=read_cols) for p in bases]).combine_chunks()
+    if not need_fold:
+        return t
+    uh = t["url_hash"].to_numpy().astype(np.uint64)
+    order = np.argsort(uh, kind="stable")
+    sorted_uh = uh[order]
+    status = t["status"].to_numpy().copy()
+    attempt = t["attempt"].to_numpy().copy()
+    for dp in deltas:
+        d = pq.read_table(dp)
+        pos = order[np.searchsorted(sorted_uh, d["url_hash"].to_numpy().astype(np.uint64))]
+        status[pos] = d["status"].to_numpy()
+        attempt[pos] = d["attempt"].to_numpy()
+    t = t.set_column(t.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
+    t = t.set_column(t.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32()))
+    if columns is not None:
+        t = t.select(columns)
+    return t
+
+
+def take_rows(paths: list[str], indices: np.ndarray, columns: list[str]) -> pa.Table:
+    """Row-group-pruned take of ``indices`` (ascending, global over the base
+    files' concat order) reading only ``columns`` — the claim stage's heavy
+    read (url/host for the selected top-K) touches O(K) row groups, not the
+    partition's url column (VERDICT r1 "what's wrong" #2)."""
+    out = []
+    offset = 0
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        n = pf.metadata.num_rows
+        local = indices[(indices >= offset) & (indices < offset + n)] - offset
+        if len(local):
+            sizes = np.array([pf.metadata.row_group(i).num_rows for i in range(pf.metadata.num_row_groups)])
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            grp = np.searchsorted(starts, local, side="right") - 1
+            kept = np.unique(grp)
+            t = pf.read_row_groups(kept.tolist(), columns=columns)
+            new_starts = np.concatenate([[0], np.cumsum(sizes[kept])[:-1]])
+            pos = np.searchsorted(kept, grp)
+            out.append(t.take(pa.array(local - starts[grp] + new_starts[pos])))
+        offset += n
+    return pa.concat_tables(out) if out else pq.read_table(paths[0], columns=columns).slice(0, 0)
 
 
 class FrontierStore:
@@ -81,21 +168,25 @@ class FrontierStore:
         os.replace(tmp, self._manifest_path(wave))
 
     # -------------------------------------------------------------- writes
-    def _write(self, rel: str, table: pa.Table) -> str:
+    def _write(self, rel: str, table: pa.Table, schema: pa.Schema) -> str:
         full = os.path.join(self.path, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(table.cast(FRONTIER_SCHEMA), tmp)
+        pq.write_table(table.cast(schema), tmp, row_group_size=_ROW_GROUP_SIZE)
         os.replace(tmp, full)
         return rel
 
     def write_main(self, pid: int, table: pa.Table, wave: int) -> str:
         """Consolidated partition version for this wave (deterministic name)."""
-        return self._write(os.path.join(f"p{pid:04d}", f"v{wave + 1:05d}.parquet"), table)
+        return self._write(os.path.join(f"p{pid:04d}", f"v{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
 
     def write_inserts(self, pid: int, table: pa.Table, wave: int) -> str:
         """Rows discovered during this wave (deterministic name)."""
-        return self._write(os.path.join(f"p{pid:04d}", f"ins{wave + 1:05d}.parquet"), table)
+        return self._write(os.path.join(f"p{pid:04d}", f"ins{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
+
+    def write_delta(self, pid: int, table: pa.Table, wave: int) -> str:
+        """This wave's (url_hash, status, attempt) flips (deterministic name)."""
+        return self._write(os.path.join(f"p{pid:04d}", f"del{wave + 1:05d}.parquet"), table, DELTA_SCHEMA)
 
     @classmethod
     def initialize(cls, path: str, seeds: pa.Table, num_partitions: int, meta: dict | None = None) -> "FrontierStore":
@@ -115,13 +206,32 @@ class FrontierStore:
         m = self.manifest(wave)
         return {int(k): [os.path.join(self.path, r) for r in v] for k, v in m["partitions"].items()}
 
-    def _all_files(self, wave: int | None = None) -> list[str]:
-        return [f for files in self.partition_files(wave).values() for f in files]
-
-    def to_dataset(self, wave: int | None = None, columns: list[str] | None = None):
-        import ray.data as rd
-
-        return rd.read_parquet(sorted(self._all_files(wave)), columns=columns)
+    def base_row_count(self, wave: int | None = None) -> int:
+        """Row count from base-file metadata only (deltas carry no rows)."""
+        return sum(
+            pq.read_metadata(f).num_rows
+            for files in self.partition_files(wave).values()
+            for f in base_paths(files)
+        )
 
     def to_arrow(self, wave: int | None = None, columns: list[str] | None = None) -> pa.Table:
-        return pa.concat_tables([pq.read_table(f, columns=columns) for f in sorted(self._all_files(wave))])
+        """Current (delta-folded) frontier as one Arrow table."""
+        return pa.concat_tables(
+            [fold_paths(files, columns) for _, files in sorted(self.partition_files(wave).items())]
+        )
+
+    def to_dataset(self, wave: int | None = None, columns: list[str] | None = None):
+        """Streaming read of the delta-folded frontier (one task/partition)."""
+        import ray.data as rd
+
+        parts = [files for _, files in sorted(self.partition_files(wave).items())]
+        cols = columns
+
+        def read_part(b: pa.Table) -> pa.Table:
+            return pa.concat_tables([fold_paths(parts[int(i)], cols) for i in b["i"].to_pylist()])
+
+        return (
+            rd.from_items([{"i": i} for i in range(len(parts))])
+            .repartition(len(parts))
+            .map_batches(read_part, batch_size=1, batch_format="pyarrow")
+        )

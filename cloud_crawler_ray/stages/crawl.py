@@ -1,29 +1,48 @@
 """Distributed crawl-wave stages (the engine half of pipelines/semantics.py).
 
-Stage inventory (SURVEY.md §3.4):
-  FetchStage   — actor-pool ``map_groups`` body over host-buckets: politeness
-                 token buckets + robots + outcome routing per host (state
-                 machine shared with the oracle via semantics.fetch_host_wave)
-  DecodeStage  — actor-pool ``map_batches``: synthetic payload → decode →
-                 phash (the image decode + phash stage of the north_rule)
+Stage inventory (SURVEY.md §3.4, reworked in round 2 to thread the
+user-extension pipeline and commit status deltas):
+
+  ClaimStage     — per-partition pruned claim: light-column fold
+                   (url_hash/priority/status/attempt) + row-group take of
+                   the selected top-K's heavy columns; runs the validator
+                   hook (skip-routing) and, for light pipelines, the whole
+                   politeness state machine
+  FetchHostGroup — ``map_groups`` body per (partition, host) for io-mode
+                   pipelines: politeness-ordered fetch with the user's
+                   fetcher/parser (BaseCrawler/BaseParser analog)
+  AttachParse    — uniform ``map_batches`` parse for light pipelines: links
+                   (+records) per DONE row — spreading per-row parse work
+                   evenly regardless of host skew (hot-domain salting)
+  SaveParsedBatch/SaveRawBatch — sink stages writing one fragment per batch
+                   through the pipeline's save_parsed/save_raw row-shapers
   extract_candidates — vectorized link explode + canonicalize + child hash
-  DedupShard   — named Ray actor: bloom pre-filter → cuckoo → exact seen-set
-                 confirm; sharded by ``url_hash % S`` (north_rule's sharded
-                 URL-seen set; exactness guaranteed by state/seen.py)
+  DedupShard     — named Ray actor: bloom pre-filter → cuckoo → exact
+                   seen-set confirm; sharded by ``url_hash % S``
+  CommitPartition — ``map_groups`` body per frontier partition: writes the
+                   wave's status-delta file (or consolidates when the file
+                   list is long), the crawl-order fragment (with the
+                   deterministic UA column), and the inserts file (keep-
+                   first dedup + exact anti-join)
 """
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, hash64_scalar
 from ..functions.urls import canonicalize, extract_host, extract_scheme, host_partition, resolve_links
+from ..functions.useragent import user_agents
 from ..pipelines import semantics as sem
 from ..pipelines import synthweb as sw
+from ..sources import frontier as fsrc
+from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
+from ..sources.lancelike import LanceLikeTable
 from ..state.bloom import BloomFilter
 from ..state.cuckoo import CuckooFilter
 from ..state.seen import SeenSet
@@ -34,151 +53,346 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("url_hash", pa.uint64()),
         ("host", pa.string()),
         ("depth", pa.int32()),
+        ("priority", pa.float32()),
+        ("discovered_at", pa.int32()),
         ("partition_id", pa.int32()),
         ("status", pa.int8()),
         ("attempt", pa.int32()),
         ("vtime", pa.int64()),
         ("fetched", pa.bool_()),
+        ("fetch_group", pa.int64()),
         ("links", pa.list_(pa.string())),
+        ("record", pa.string()),
+        ("body", pa.binary()),
+    ]
+)
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("partition_id", pa.int32()),
+    ]
+)
+
+ORDER_SCHEMA = pa.schema(
+    [
+        ("wave", pa.int32()),
+        ("vtime", pa.int64()),
+        ("url_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("ua", pa.string()),
+        ("partition_id", pa.int32()),
+    ]
+)
+
+# union row schema for the single commit exchange: status flips (kind 0) and
+# candidate inserts (kind 1) ride the same groupby(partition_id)
+COMMIT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("partition_id", pa.int32()),
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.float32()),
+        ("parent_hash", pa.uint64()),
+        ("link_index", pa.int32()),
+        ("status", pa.int8()),
+        ("attempt", pa.int32()),
+        ("vtime", pa.int64()),
+        ("fetched", pa.bool_()),
+    ]
+)
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("pid", pa.int32()),
+        ("rel", pa.string()),
+        ("rel2", pa.string()),
+        ("n1", pa.int64()),
+        ("n2", pa.int64()),
     ]
 )
 
 
-MARKER_STATUS = -1  # meta row emitted by SelectFetchCommit per touched partition
-
-
-class SelectFetchCommit:
-    """Fused per-partition claim + fetch + status-commit (one task per
-    frontier partition — the whole "worker" of the reference in one task).
-
-    The reference's transactional claim (pullAndUpdateStatus under a global
-    lock, QueueTaskServiceImpl.scala:57-66) becomes partition ownership: one
-    task owns one hostname-hash partition. It reads the partition's file
-    list (main + pending inserts), takes the top-k by (priority, url_hash)
-    [rule (a)], runs the politeness-ordered host fetches locally [rules
-    (b)-(d)], then — because it already holds the whole partition in memory
-    — writes the consolidated next partition version with the new status /
-    attempt columns AND the wave's crawl-order fragment. Claim, fetch,
-    status update and compaction cost ZERO exchanges; all of a host's
-    token-bucket grants are computed in one place (SURVEY.md §4.5).
-
-    Output: the light fetch rows (consumed by the decode and out-link
-    branches) plus one marker row per partition (status = -1) carrying the
-    written file names for the driver's manifest commit.
-    """
-
-    def __init__(self, cfg: sw.WebConfig, wave: int, k: int, frontier_path: str, order_path: str, num_partitions: int):
-        self.cfg = cfg
-        self.wave = wave
-        self.k = k
-        self.frontier_path = frontier_path
-        self.order_path = order_path
-        self.P = num_partitions
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
-        from ..sources.lancelike import LanceLikeTable
-
-        cfg, wave = self.cfg, self.wave
-        store = FrontierStore(self.frontier_path, self.P)
-        out: list[pa.Table] = []
-        for pid, paths in zip(t["pid"].to_pylist(), t["paths"].to_pylist()):
-            part = pa.concat_tables([pq.read_table(p) for p in paths]).combine_chunks()
-            uh_all = part["url_hash"].to_numpy().astype(np.uint64)
-            sel = sem.select_wave_indices(
-                part["priority"].to_numpy(),
-                uh_all,
-                part["status"].to_numpy(),
-                part["attempt"].to_numpy(),
-                self.k,
-                cfg.max_attempts,
-            )
-            if len(sel) == 0:
-                if len(paths) > 1:  # still consolidate multi-file partitions
-                    rel = store.write_main(pid, part, wave)
-                    out.append(_marker_row(pid, rel, "", 0))
-                continue
-            g = part.take(pa.array(sel)).to_pandas()
-            status_new = part["status"].to_numpy().copy()
-            attempt_new = part["attempt"].to_numpy().copy()
-            part_rows: list[pa.Table] = []
-            for host, hrows in g.groupby("host", sort=True):
-                # rule (b): per-host order (discovered_at, priority, url_hash)
-                hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
-                uh = hrows["url_hash"].to_numpy().astype(np.uint64)
-                res = sem.fetch_host_wave(str(host), wave, hrows["url"].tolist(), uh, hrows["attempt"].to_numpy(), cfg)
-                part_rows.append(
-                    pa.table(
-                        {
-                            "url": pa.array(hrows["url"].tolist(), pa.string()),
-                            "url_hash": pa.array(uh, pa.uint64()),
-                            "host": pa.array([str(host)] * len(hrows), pa.string()),
-                            "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
-                            "partition_id": pa.array(np.full(len(hrows), pid, np.int32), pa.int32()),
-                            "status": pa.array(res.status, pa.int8()),
-                            "attempt": pa.array(res.attempt, pa.int32()),
-                            "vtime": pa.array(res.vtime, pa.int64()),
-                            "fetched": pa.array(res.fetched, pa.bool_()),
-                            "links": pa.array(res.links, pa.list_(pa.string())),
-                        }
-                    )
-                )
-            fetch_rows = pa.concat_tables(part_rows)
-            # apply the wave's status/attempt updates (searchsorted scatter)
-            order_idx = np.argsort(uh_all, kind="stable")
-            pos = order_idx[np.searchsorted(uh_all[order_idx], fetch_rows["url_hash"].to_numpy())]
-            status_new[pos] = fetch_rows["status"].to_numpy()
-            attempt_new[pos] = fetch_rows["attempt"].to_numpy()
-            cols = {nm: part[nm] for nm in part.column_names}
-            cols["status"] = pa.array(status_new, pa.int8())
-            cols["attempt"] = pa.array(attempt_new, pa.int32())
-            main_rel = store.write_main(pid, pa.table(cols).cast(FRONTIER_SCHEMA), wave)
-            # crawl-order fragment for this (wave, partition)
-            forder = fetch_rows.filter(fetch_rows["fetched"])
-            order_rel = ""
-            if forder.num_rows:
-                ot = pa.table(
-                    {
-                        "wave": pa.array(np.full(forder.num_rows, wave, np.int32), pa.int32()),
-                        "vtime": forder["vtime"],
-                        "url_hash": forder["url_hash"],
-                        "host": forder["host"],
-                        "partition_id": forder["partition_id"],
-                    }
-                )
-                ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
-                order_rel = LanceLikeTable(self.order_path).write_fragment(ot, name=f"w{wave:05d}-p{pid:04d}")
-            out.append(fetch_rows)
-            out.append(_marker_row(pid, main_rel, order_rel, forder.num_rows))
-        if not out:
-            return pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
-        return pa.concat_tables(out)
-
-
-def _marker_row(pid: int, main_rel: str, order_rel: str, n_order: int) -> pa.Table:
-    """Meta row (status = MARKER_STATUS) in FETCH_OUT_SCHEMA: url carries the
-    main file relpath, host the order fragment relpath, vtime the order-row
-    count."""
+def result_row(src: str, pid: int, rel: str = "", rel2: str = "", n1: int = 0, n2: int = 0) -> pa.Table:
     return pa.table(
         {
-            "url": pa.array([main_rel], pa.string()),
-            "url_hash": pa.array([0], pa.uint64()),
-            "host": pa.array([order_rel], pa.string()),
-            "depth": pa.array([0], pa.int32()),
-            "partition_id": pa.array([pid], pa.int32()),
-            "status": pa.array([MARKER_STATUS], pa.int8()),
-            "attempt": pa.array([0], pa.int32()),
-            "vtime": pa.array([n_order], pa.int64()),
-            "fetched": pa.array([False], pa.bool_()),
-            "links": pa.array([None], pa.list_(pa.string())),
+            "src": pa.array([src], pa.string()),
+            "pid": pa.array([pid], pa.int32()),
+            "rel": pa.array([rel], pa.string()),
+            "rel2": pa.array([rel2], pa.string()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
         }
     )
 
 
+def empty_result() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in RESULT_SCHEMA})
+
+
+def _empty_fetch_out() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in FETCH_OUT_SCHEMA})
+
+
+def _record_str(rec) -> str | None:
+    if rec is None or isinstance(rec, str):
+        return rec
+    if isinstance(rec, bytes):
+        return rec.decode("utf-8", "replace")
+    return json.dumps(rec, sort_keys=True, default=str)
+
+
+def _group_key(pid: int, host: str) -> int:
+    """Stable fetch-group id per (partition, host) — positive int64."""
+    return int(hash64_scalar(f"{pid}|{host}")) & 0x7FFFFFFFFFFFFFFF
+
+
+class ClaimStage:
+    """Per-partition claim (one task per frontier partition).
+
+    The reference's transactional claim (pullAndUpdateStatus under a global
+    lock, QueueTaskServiceImpl.scala:57-66) becomes partition ownership.
+    Reads are pruned (VERDICT r1 #2/#4): the top-K selection folds only the
+    light columns (url_hash, priority, status, attempt — deltas applied),
+    then a row-group take loads url/host/depth for the ≤K selected rows;
+    the url column of the unselected frontier never leaves storage.
+
+    Light pipelines (outcome pure in url_hash): the politeness state
+    machine runs here [rules (a)-(d)] and per-row parse/decode work is
+    deferred to uniform downstream batches. IO pipelines: rows are emitted
+    WAIT-tagged with a per-(partition, host) fetch_group — the fetch
+    exchange then runs every host as its own task, so a slow or hot host
+    parallelizes across the cluster instead of serializing its partition.
+    The validator hook routes rejected rows to SKIPPED pre-fetch
+    (BatchTasksValidator / TasksBatchController.scala:115-120).
+    """
+
+    def __init__(self, cfg: sw.WebConfig, pipeline, wave: int, k: int):
+        self.cfg = cfg
+        self.pipeline = pipeline
+        self.wave = wave
+        self.k = k
+        self.__name__ = f"ClaimStage(w{wave})"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg, wave, pl = self.cfg, self.wave, self.pipeline
+        out: list[pa.Table] = []
+        for pid, paths in zip(t["pid"].to_pylist(), t["paths"].to_pylist()):
+            light = fsrc.fold_paths(list(paths), columns=["url_hash", "priority", "status", "attempt"])
+            uh_all = light["url_hash"].to_numpy().astype(np.uint64)
+            sel = sem.select_wave_indices(
+                light["priority"].to_numpy(),
+                uh_all,
+                light["status"].to_numpy(),
+                light["attempt"].to_numpy(),
+                self.k,
+                cfg.max_attempts,
+            )
+            if len(sel) == 0:
+                continue
+            sel = np.sort(sel)
+            heavy = fsrc.take_rows(fsrc.base_paths(list(paths)), sel, ["url", "host", "depth", "discovered_at"])
+            claim = pa.table(
+                {
+                    "url": heavy["url"],
+                    "url_hash": pa.array(uh_all[sel], pa.uint64()),
+                    "host": heavy["host"],
+                    "depth": heavy["depth"],
+                    "priority": pa.array(light["priority"].to_numpy()[sel], pa.float32()),
+                    "discovered_at": heavy["discovered_at"],
+                    "attempt": pa.array(light["attempt"].to_numpy()[sel], pa.int32()),
+                }
+            )
+            keep = np.ones(claim.num_rows, bool)
+            if pl.validator is not None:
+                keep = np.asarray(pl.validator(claim), bool)
+            if (~keep).any():
+                out.append(self._rows(pid, claim.filter(pa.array(~keep)), skipped=True))
+            kept = claim.filter(pa.array(keep))
+            if kept.num_rows == 0:
+                continue
+            if pl.light:
+                out.append(self._fetch_light(pid, kept))
+            else:
+                out.append(self._rows(pid, kept, skipped=False))
+        return pa.concat_tables(out) if out else _empty_fetch_out()
+
+    def _rows(self, pid: int, claim: pa.Table, skipped: bool) -> pa.Table:
+        n = claim.num_rows
+        hosts = claim["host"].to_pylist()
+        groups = [_group_key(pid, h) for h in hosts]
+        return pa.table(
+            {
+                "url": claim["url"],
+                "url_hash": claim["url_hash"],
+                "host": claim["host"],
+                "depth": claim["depth"],
+                "priority": claim["priority"],
+                "discovered_at": claim["discovered_at"],
+                "partition_id": pa.array(np.full(n, pid, np.int32), pa.int32()),
+                "status": pa.array(np.full(n, sem.SKIPPED if skipped else sem.WAIT, np.int8), pa.int8()),
+                "attempt": claim["attempt"],
+                "vtime": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "fetched": pa.array(np.zeros(n, bool), pa.bool_()),
+                "fetch_group": pa.array(groups, pa.int64()),
+                "links": pa.array([None] * n, pa.list_(pa.string())),
+                "record": pa.array([None] * n, pa.string()),
+                "body": pa.array([None] * n, pa.binary()),
+            }
+        ).cast(FETCH_OUT_SCHEMA)
+
+    def _fetch_light(self, pid: int, kept: pa.Table) -> pa.Table:
+        cfg, wave, pl = self.cfg, self.wave, self.pipeline
+        g = kept.to_pandas()
+        parts: list[pa.Table] = []
+        for host, hrows in g.groupby("host", sort=True):
+            # rule (b): per-host order (discovered_at, priority, url_hash)
+            hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
+            uh = hrows["url_hash"].to_numpy().astype(np.uint64)
+            res = sem.fetch_host_wave(
+                str(host),
+                wave,
+                hrows["url"].tolist(),
+                uh,
+                hrows["attempt"].to_numpy(),
+                cfg,
+                fetcher=pl.fetcher,
+                parser=pl.parser,
+                collect_links=False,
+            )
+            n = len(hrows)
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(hrows["url"].tolist(), pa.string()),
+                        "url_hash": pa.array(uh, pa.uint64()),
+                        "host": pa.array([str(host)] * n, pa.string()),
+                        "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
+                        "priority": pa.array(hrows["priority"].to_numpy(), pa.float32()),
+                        "discovered_at": pa.array(hrows["discovered_at"].to_numpy(), pa.int32()),
+                        "partition_id": pa.array(np.full(n, pid, np.int32), pa.int32()),
+                        "status": pa.array(res.status, pa.int8()),
+                        "attempt": pa.array(res.attempt, pa.int32()),
+                        "vtime": pa.array(res.vtime, pa.int64()),
+                        "fetched": pa.array(res.fetched, pa.bool_()),
+                        "fetch_group": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                        "links": pa.array([None] * n, pa.list_(pa.string())),
+                        "record": pa.array([None] * n, pa.string()),
+                        "body": pa.array([None] * n, pa.binary()),
+                    }
+                ).cast(FETCH_OUT_SCHEMA)
+            )
+        return pa.concat_tables(parts)
+
+
+class FetchHostGroup:
+    """``map_groups`` body per (partition, host) fetch group — io pipelines.
+
+    Runs the politeness-ordered state machine with the user's fetcher and
+    parser for one host's claimed rows. One Ray task per host, so the wave
+    fans out to (#hosts touched) fetch tasks > P — a hot host no longer
+    serializes its whole partition behind one task (VERDICT r1 #3; the
+    remaining serialization *within* one host is the politeness contract
+    itself). Validator-SKIPPED rows pass through untouched.
+    """
+
+    def __init__(self, cfg: sw.WebConfig, pipeline, wave: int):
+        self.cfg = cfg
+        self.pipeline = pipeline
+        self.wave = wave
+        self.__name__ = f"FetchHostGroup(w{wave})"
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        pl = self.pipeline
+        passthrough = g.filter(pc.not_equal(g["status"], sem.WAIT))
+        todo = g.filter(pc.equal(g["status"], sem.WAIT))
+        if todo.num_rows == 0:
+            return passthrough if passthrough.num_rows else _empty_fetch_out()
+        order = pc.sort_indices(
+            todo,
+            sort_keys=[("discovered_at", "ascending"), ("priority", "ascending"), ("url_hash", "ascending")],
+        )
+        todo = todo.take(order)
+        urls = todo["url"].to_pylist()
+        uh = todo["url_hash"].to_numpy().astype(np.uint64)
+        res = sem.fetch_host_wave(
+            todo["host"][0].as_py(),
+            self.wave,
+            urls,
+            uh,
+            todo["attempt"].to_numpy(),
+            self.cfg,
+            fetcher=pl.fetcher,
+            parser=pl.parser,
+            collect_links=True,
+            collect_records=pl.save_parsed is not None and pl.parser is not None,
+            collect_bodies=pl.save_raw is not None,
+        )
+        n = todo.num_rows
+        recs = [_record_str(r) for r in res.records] if res.records is not None else [None] * n
+        bodies = (
+            [b if b is None or isinstance(b, bytes) else str(b).encode() for b in res.bodies]
+            if res.bodies is not None
+            else [None] * n
+        )
+        fetched_rows = pa.table(
+            {
+                "url": todo["url"],
+                "url_hash": todo["url_hash"],
+                "host": todo["host"],
+                "depth": todo["depth"],
+                "priority": todo["priority"],
+                "discovered_at": todo["discovered_at"],
+                "partition_id": todo["partition_id"],
+                "status": pa.array(res.status, pa.int8()),
+                "attempt": pa.array(res.attempt, pa.int32()),
+                "vtime": pa.array(res.vtime, pa.int64()),
+                "fetched": pa.array(res.fetched, pa.bool_()),
+                "fetch_group": todo["fetch_group"],
+                "links": pa.array(res.links, pa.list_(pa.string())),
+                "record": pa.array(recs, pa.string()),
+                "body": pa.array(bodies, pa.binary()),
+            }
+        ).cast(FETCH_OUT_SCHEMA)
+        return pa.concat_tables([fetched_rows, passthrough]) if passthrough.num_rows else fetched_rows
+
+
+class AttachParse:
+    """Uniform per-batch parse for light pipelines' DONE rows: links
+    (+records) from (url, url_hash) with body=None. Ray's even batching is
+    the hot-domain salting for this per-row work — a hot host's pages are
+    spread over ceil(done/batch_size) tasks regardless of partition."""
+
+    def __init__(self, pipeline, want_records: bool = False):
+        self.parser = pipeline.parser
+        self.want_records = want_records
+        self.__name__ = "AttachParse"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        links: list[list[str]] = []
+        recs: list[str | None] = []
+        for u, h in zip(t["url"].to_pylist(), t["url_hash"].to_numpy()):
+            lk, rec = self.parser(u, int(h), None)
+            links.append(lk if lk is not None else [])
+            recs.append(_record_str(rec) if self.want_records else None)
+        t = t.set_column(t.schema.get_field_index("links"), "links", pa.array(links, pa.list_(pa.string())))
+        if self.want_records:
+            t = t.set_column(t.schema.get_field_index("record"), "record", pa.array(recs, pa.string()))
+        return t
+
+
 class DecodeStage:
-    """Image decode + phash over DONE rows (actor-pool ``map_batches``).
+    """Image decode + phash over DONE rows (the synthetic parsed-sink body).
 
     The synthetic fetch payload is generated from the url_hash PRF (the
     in-sandbox stand-in for the HTTP body), then decoded with the real
@@ -210,6 +424,46 @@ class DecodeStage:
         )
 
 
+def make_image_sink(cfg: sw.WebConfig):
+    """The synthetic pipeline's save_parsed: DONE rows → image+caption rows
+    (input_hint schema; SaveParsedProvider analog writing the Lance-style
+    images table)."""
+    decode = DecodeStage(cfg)
+
+    def image_sink(t: pa.Table) -> pa.Table:
+        out = decode(t.select(["url_hash", "partition_id"]))
+        out = out.select([f.name for f in IMAGES_SCHEMA]).cast(IMAGES_SCHEMA)
+        return out.take(pc.sort_indices(out, sort_keys=[("image_id", "ascending")]))
+
+    return image_sink
+
+
+class SaveParsedBatch:
+    """Parsed-output sink stage: one fragment per input batch.
+
+    Plain ``map_batches`` over the DONE rows — no exchange for the payload
+    path: bytes are produced exactly where the fragment is written, and
+    uniform batch sizes keep the work even regardless of host or partition
+    skew. The fragment name derives from the batch's minimum url_hash
+    (disjoint batches → unique names); cross-run idempotency comes from the
+    commit-by-wave guard in run_wave."""
+
+    def __init__(self, sink, table_path: str, wave: int, src: str = "parsed"):
+        self.sink = sink
+        self.table_path = table_path
+        self.wave = wave
+        self.src = src
+        self.__name__ = f"SaveParsedBatch(w{wave})"
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_result()
+        t = self.sink(g)
+        name = f"w{self.wave:05d}-h{int(g['url_hash'].to_numpy().min()):016x}"
+        rel = LanceLikeTable(self.table_path).write_fragment(t, name=name)
+        return result_row(self.src, -1, rel=rel, n1=t.num_rows)
+
+
 def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> pa.Table:
     """Vectorized out-link explode for a batch of DONE fetch rows.
 
@@ -234,7 +488,6 @@ def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> p
     rep = np.repeat(np.arange(len(t), dtype=np.int64), counts)
     flat_hrefs = pa.array([h for row in links.to_pylist() for h in (row or [])], pa.string())
     link_index = np.concatenate([np.arange(c, dtype=np.int32) for c in counts if c > 0]) if counts.sum() else np.zeros(0, np.int32)
-    parent_urls = pc.take(t["url"], pa.array(rep))
     parent_hash = t["url_hash"].to_numpy()[rep]
     child_depth = (t["depth"].to_numpy()[rep] + 1).astype(np.int32)
     parent_host = pc.take(t["host"], pa.array(rep))
@@ -405,62 +658,143 @@ class CheckRouter:
         return t.filter(pa.array(keep))
 
 
-class InsertPartition:
-    """``map_groups`` body for one frontier partition's discovered URLs:
-    within-wave keep-first (rule §4.3(c): min (parent_hash, link_index) per
-    child url_hash — all copies of a URL are in this group because host
-    determines the partition), exact anti-join against the partition's own
-    committed rows (the authoritative first-discovery-wins check,
-    SqlQueueTaskProvider.scala:58-68 analog), then writes the wave's
-    inserts file and pushes the accepted hashes to the seen-shard actors
-    (async — the actors are a pre-filter, the partition file is the truth).
+class CommitPartition:
+    """``map_groups`` body for one frontier partition — the wave's single
+    all-to-all exchange commits BOTH row kinds:
+
+    kind 0 (status flips of the selected rows) → one small ``del*`` file
+    per wave — O(wave) bytes, not O(frontier) (VERDICT r1 #1); when the
+    partition's file list reaches ``compact_files`` the fold+rewrite rides
+    along here instead (amortized compaction). Also writes the wave's
+    crawl-order fragment with the deterministic per-request UA column
+    (UserAgentGenerator analog, now actually in the fetch path).
+
+    kind 1 (discovered URLs) → within-wave keep-first (rule §4.3(c): min
+    (parent_hash, link_index) per child url_hash — all copies of a URL are
+    in this group because host determines the partition), exact anti-join
+    against the partition's committed base rows (the authoritative first-
+    discovery-wins check, SqlQueueTaskProvider.scala:58-68 analog), writes
+    the wave's inserts file and pushes accepted hashes to the seen-shard
+    actors (async — the actors are a pre-filter, the partition file is the
+    truth).
     """
 
-    def __init__(self, frontier_path: str, num_partitions: int, wave: int, part_files: dict, shard_handles: list):
+    def __init__(
+        self,
+        frontier_path: str,
+        num_partitions: int,
+        wave: int,
+        part_files: dict,
+        shards: list,
+        order_path: str,
+        compact_files: int = 8,
+    ):
         self.frontier_path = frontier_path
         self.P = num_partitions
         self.wave = wave
-        self.part_files = part_files  # pre-wave file lists (url set == post-claim main)
-        self.shards = shard_handles
-        self.__name__ = f"InsertPartition(w{wave})"
+        self.part_files = part_files  # pre-wave file lists
+        self.shards = shards
+        self.order_path = order_path
+        self.compact_files = compact_files
+        self.__name__ = f"CommitPartition(w{wave})"
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: pa.Table) -> pa.Table:
+        pid = int(g["partition_id"][0].as_py())
+        paths = [str(p) for p in self.part_files[pid]]
+        store = FrontierStore(self.frontier_path, self.P)
+        out: list[pa.Table] = []
+        status_rows = g.filter(pc.equal(g["kind"], 0))
+        cand = g.filter(pc.equal(g["kind"], 1))
+        if status_rows.num_rows:
+            out.append(self._commit_status(pid, paths, store, status_rows))
+        if cand.num_rows:
+            out.append(self._commit_inserts(pid, paths, store, cand))
+        return pa.concat_tables(out) if out else empty_result()
+
+    def _commit_status(self, pid: int, paths: list[str], store: FrontierStore, rows: pa.Table) -> pa.Table:
+        rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
+        delta = pa.table(
+            {"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]}
+        )
+        if len(paths) + 1 >= self.compact_files:
+            full = fsrc.fold_paths(paths)
+            uh_all = full["url_hash"].to_numpy().astype(np.uint64)
+            order = np.argsort(uh_all, kind="stable")
+            pos = order[np.searchsorted(uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64))]
+            status = full["status"].to_numpy().copy()
+            attempt = full["attempt"].to_numpy().copy()
+            status[pos] = delta["status"].to_numpy()
+            attempt[pos] = delta["attempt"].to_numpy()
+            full = full.set_column(full.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
+            full = full.set_column(
+                full.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32())
+            )
+            rel = store.write_main(pid, full.cast(FRONTIER_SCHEMA), self.wave)
+            src = "compact"
+        else:
+            rel = store.write_delta(pid, delta, self.wave)
+            src = "delta"
+        forder = rows.filter(rows["fetched"])
+        order_rel = ""
+        if forder.num_rows:
+            ot = pa.table(
+                {
+                    "wave": pa.array(np.full(forder.num_rows, self.wave, np.int32), pa.int32()),
+                    "vtime": forder["vtime"],
+                    "url_hash": forder["url_hash"],
+                    "host": forder["host"],
+                    "ua": pa.array(user_agents(forder["url_hash"].to_numpy()), pa.string()),
+                    "partition_id": forder["partition_id"],
+                }
+            ).cast(ORDER_SCHEMA)
+            ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
+            order_rel = LanceLikeTable(self.order_path).write_fragment(ot, name=f"w{self.wave:05d}-p{pid:04d}")
+        return result_row(src, pid, rel=rel, rel2=order_rel, n1=forder.num_rows, n2=rows.num_rows)
+
+    def _commit_inserts(self, pid: int, paths: list[str], store: FrontierStore, cand: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        from ..sources.frontier import FRONTIER_SCHEMA, FrontierStore
-
-        pid = int(g["partition_id"].iloc[0])
-        g = g.sort_values(["url_hash", "parent_hash", "link_index"], kind="stable")
-        g = g.drop_duplicates("url_hash", keep="first")
+        cand = cand.take(
+            pc.sort_indices(
+                cand,
+                sort_keys=[
+                    ("url_hash", "ascending"),
+                    ("parent_hash", "ascending"),
+                    ("link_index", "ascending"),
+                ],
+            )
+        )
+        uh = cand["url_hash"].to_numpy().astype(np.uint64)
+        first = np.concatenate([[True], uh[1:] != uh[:-1]]) if len(uh) else np.zeros(0, bool)
+        cand = cand.filter(pa.array(first))
         seen = np.concatenate(
-            [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in self.part_files[pid]]
+            [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in fsrc.base_paths(paths)]
         ).astype(np.uint64)
-        fresh = g[~np.isin(g["url_hash"].to_numpy().astype(np.uint64), seen)].copy()
-        if not len(fresh):
-            return _empty_ins_result()
-        fresh["status"] = np.int8(0)  # WAIT
-        fresh["attempt"] = np.int32(0)
-        fresh["discovered_at"] = np.int32(self.wave + 1)
-        t = pa.Table.from_pandas(fresh, preserve_index=False).select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
-        t = t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending")]))
-        rel = FrontierStore(self.frontier_path, self.P).write_inserts(pid, t, self.wave)
+        fresh_mask = ~np.isin(cand["url_hash"].to_numpy().astype(np.uint64), seen)
+        fresh = cand.filter(pa.array(fresh_mask))
+        if fresh.num_rows == 0:
+            return empty_result()
+        n = fresh.num_rows
+        t = pa.table(
+            {
+                "url": fresh["url"],
+                "url_hash": fresh["url_hash"],
+                "host": fresh["host"],
+                "depth": fresh["depth"],
+                "priority": fresh["priority"],
+                "status": pa.array(np.full(n, sem.WAIT, np.int8), pa.int8()),
+                "attempt": pa.array(np.zeros(n, np.int32), pa.int32()),
+                "discovered_at": pa.array(np.full(n, self.wave + 1, np.int32), pa.int32()),
+                "parent_hash": fresh["parent_hash"],
+                "link_index": fresh["link_index"],
+                "partition_id": fresh["partition_id"],
+            }
+        ).cast(FRONTIER_SCHEMA)
+        rel = store.write_inserts(pid, t, self.wave)
         h = t["url_hash"].to_numpy().astype(np.uint64)
         sid = h % np.uint64(len(self.shards))
         for s in range(len(self.shards)):
             m = sid == s
             if m.any():
                 self.shards[s].add_seen.remote(h[m])  # fire-and-forget pre-filter update
-        return pd.DataFrame({"src": ["ins"], "pid": np.array([pid], np.int32), "rel": [rel],
-                             "rel2": [""], "n1": np.array([len(fresh)], np.int64)})
-
-
-def _empty_ins_result() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "src": pd.Series([], dtype=object),
-            "pid": pd.Series([], dtype=np.int32),
-            "rel": pd.Series([], dtype=object),
-            "rel2": pd.Series([], dtype=object),
-            "n1": pd.Series([], dtype=np.int64),
-        }
-    )
+        return result_row("ins", pid, rel=rel, n1=n)
