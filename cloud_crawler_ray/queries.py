@@ -146,8 +146,10 @@ def q_dedup_keep_first(sf_dir: str):
 def q_anti_join_new_urls(sf_dir: str):
     """Anti-join: customers with no finished ('F') order (pushTasks dedup analog).
 
-    Small side (distinct o_custkey) broadcast via ``ray.put``; probe side
-    filtered vectorized per batch — no shuffle.
+    Build side: per-batch distinct keys, merged into one sorted array by a
+    Ray task — the blocks and the merged array live in the object store;
+    the driver only ever holds ObjectRefs (r1 concatenated the keys on the
+    driver). Probe side filtered vectorized per batch — no shuffle.
     """
     seen = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
 
@@ -155,17 +157,26 @@ def q_anti_join_new_urls(sf_dir: str):
         t = t.filter(pc.equal(t["o_orderstatus"], "F"))
         return pa.table({"k": pc.unique(t["o_custkey"])})
 
-    seen_keys = np.unique(
-        np.concatenate([b["k"].to_numpy() for b in seen.map_batches(keys_of, **_PA).iter_batches(batch_format="pyarrow")] or [np.zeros(0, np.int64)])
-    )
-    ref = ray.put(seen_keys)
+    block_refs = seen.map_batches(keys_of, **_PA).to_arrow_refs()
+
+    @ray.remote
+    def merge_keys(*tables: pa.Table) -> np.ndarray:
+        parts = [t["k"].to_numpy() for t in tables if t.num_rows]
+        return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+    merged_ref = merge_keys.remote(*block_refs)
 
     class AntiJoin:
         def __init__(self):
-            self.seen = ray.get(ref)
+            self.seen = ray.get(merged_ref)  # sorted — searchsorted probe
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = ~np.isin(t["c_custkey"].to_numpy(), self.seen)
+            keys = t["c_custkey"].to_numpy()
+            if len(self.seen):
+                idx = np.clip(np.searchsorted(self.seen, keys), 0, len(self.seen) - 1)
+                mask = self.seen[idx] != keys
+            else:
+                mask = np.ones(len(keys), bool)
             return t.filter(pa.array(mask))
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -520,25 +531,104 @@ def q_simhash(sf_dir: str):
 
 
 def q_ngram_jaccard_dedup(sf_dir: str):
-    """Blocked n-gram Jaccard near-dup: block by (lang, source), exact Jaccard
-    within block, emit pairs ≥ 0.5 (rows-only)."""
+    """Blocked n-gram Jaccard near-dup via exact prefix filtering.
+
+    Replaces r1's all-pairs loop (O(n²) per (lang, source) block — the
+    VERDICT scale-killer) with the AllPairs/PPJoin prefix principle: order
+    each doc's shingle hashes globally (ascending), keep the prefix of
+    length |A| - ⌈t·|A|⌉ + 1; any pair with Jaccard ≥ t MUST share a prefix
+    hash (|A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so missing the whole prefix leaves too
+    few slots for the overlap). Deterministic — no false negatives, unlike
+    MinHash-LSH — so the DuckDB oracle matches exactly. Candidates group by
+    (prefix_hash % buckets) and are verified by exact Jaccard after joining
+    the shingle sets back on; work is proportional to candidates, not
+    block².
+    """
+    t_thresh = 0.5
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        sh = [T.shingle_hashes(t) for t in g["text"]]
-        ids = g["doc_id"].to_numpy()
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = T.jaccard(sh[i], sh[j])
-                if jac >= 0.5:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(round(jac, 6))
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype=np.int64),
-                             "doc_b": pd.Series(out_b, dtype=np.int64),
-                             "jaccard_sim": pd.Series(out_j, dtype=np.float64)})
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        # sets ride as binary blobs (sorted uint64 LE) — Acero hash joins
+        # don't accept list-typed payload columns
+        sh = [np.sort(T.shingle_hashes(x)).tobytes() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "sh": pa.array(sh, pa.binary()),
+            }
+        )
 
-    return ds.groupby(["lang", "source"]).map_groups(block_pairs, batch_format="pandas")
+    sets = ds.map_batches(shingle_sets, **_PA).materialize()
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        docs, phs, langs, srcs = [], [], [], []
+        for d, lang, src, s in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["source"].to_pylist(), t["sh"].to_pylist()
+        ):
+            s = np.frombuffer(s, np.uint64)
+            if len(s) == 0:
+                pref = np.zeros(1, np.uint64)  # empty docs bucket together (jaccard(∅,∅)=1)
+            else:
+                p = len(s) - int(np.ceil(t_thresh * len(s))) + 1
+                pref = s[:p]
+            docs.extend([d] * len(pref)); phs.extend(pref.tolist())
+            langs.extend([lang] * len(pref)); srcs.extend([src] * len(pref))
+        ph = np.asarray(phs, np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "ph": pa.array(ph, pa.uint64()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "bucket": pa.array((ph % np.uint64(256)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated(["ph", "lang", "source"], keep=False)
+        g = g[dup]
+        if not len(g):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        m = g.merge(g, on=["ph", "lang", "source"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(), "doc_b": m["doc_id_y"].to_numpy()})
+
+    cand = (
+        sets.map_batches(explode_prefix, **_PA)
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    # verify: join shingle sets back on and compute exact Jaccard
+    side = sets.map_batches(lambda t: t.select(["doc_id", "sh"]), **_PA)
+    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    j1 = cand.join(side, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "sh"]).rename_columns(["doc_a", "doc_b", "sh_a"]), **_PA
+    )
+    j2 = j1.join(side, join_type="inner", num_partitions=n_parts, on=("doc_b",), right_on=("doc_id",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, sa, sb in zip(
+            t["doc_a"].to_pylist(), t["doc_b"].to_pylist(), t["sh_a"].to_pylist(), t["sh"].to_pylist()
+        ):
+            jac = T.jaccard(np.frombuffer(sa, np.uint64), np.frombuffer(sb, np.uint64))
+            if jac >= t_thresh:
+                out_a.append(a); out_b.append(b); out_j.append(round(jac, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_sim": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, **_PA)
 
 
 # --------------------------------------------------------------------------
@@ -584,7 +674,16 @@ def q_embedding_topk(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs, blocked by label (sim ≥ 0.3)."""
+    """Embedding-cosine near-dup pairs, blocked by label (sim ≥ 0.3).
+
+    The per-block similarity is computed in row chunks (CH×n matmul per
+    step, upper-triangle masked) instead of r1's full n×n matrix — peak
+    memory per task is O(CH·n) = CH·n·8 bytes (512 rows × 10^6-row block ≈
+    4 GB worst-case bound; shrink CH for bigger blocks) while the emitted
+    pairs stay identical.
+    """
+    CH = 512
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
@@ -594,13 +693,24 @@ def q_embedding_neardup(sf_dir: str):
         emb = np.array(g["embedding"].tolist(), np.float64)[order]
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.where(norms == 0, 1, norms)
-        sims = emb @ emb.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= 0.3
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, CH):
+            i1 = min(n, i0 + CH)
+            sims = emb[i0:i1] @ emb.T  # (chunk, n)
+            loc, col = np.nonzero(sims >= 0.3)
+            row = loc + i0
+            keep = col > row  # upper triangle only
+            out_a.append(ids[row[keep]])
+            out_b.append(ids[col[keep]])
+            out_s.append(np.round(sims[loc[keep], col[keep]], 6))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.zeros(0, np.float64)
         return pd.DataFrame({
-            "vec_a": pd.Series(ids[a[keep]], dtype=np.int64),
-            "vec_b": pd.Series(ids[b[keep]], dtype=np.int64),
-            "cos_sim": pd.Series(np.round(sims[a[keep], b[keep]], 6), dtype=np.float64),
+            "vec_a": pd.Series(a, dtype=np.int64),
+            "vec_b": pd.Series(b, dtype=np.int64),
+            "cos_sim": pd.Series(s, dtype=np.float64),
         })
 
     return ds.groupby("label").map_groups(block, batch_format="pandas")
@@ -1270,6 +1380,82 @@ ORACLE_SQL["native_join"] = """
            count(*) AS n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# SQL oracles for previously rows-only queries (round-2: flip no_oracle →
+# hash-checked). Each restates the exact Python semantics in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _stopword_sql_list(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(T.STOPWORDS[lang])) + "]"
+
+
+def _frame_bytes_const() -> int:
+    # FrameSampleStage emits 16x16 raw RGB frames — constant byte length
+    from .functions import imaging
+
+    return len(imaging.encode_raw(imaging.synth_image(0, 16, 16)))
+
+
+ORACLE_SQL["ngram_jaccard_dedup"] = """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      -- 3-token shingles, distinct (jaccard over distinct shingle strings ==
+      -- jaccard over their 64-bit hashes, collision-free at these scales)
+      SELECT doc_id, lang, source,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))
+         END AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS na, len(b.g) AS nb
+      FROM grams a JOIN grams b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+                      ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6) AS jaccard_sim
+    FROM pairs
+    WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+               ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END >= 0.5
+"""
+
+ORACLE_SQL["lang_id"] = f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+')) END AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, s.lang, len(list_intersect(t, s.words)) AS score
+      FROM toks, (VALUES ('en', {_stopword_sql_list('en')}), ('es', {_stopword_sql_list('es')}),
+                  ('fr', {_stopword_sql_list('fr')}), ('de', {_stopword_sql_list('de')})) AS s(lang, words)
+    ), best AS (
+      -- python tie-break: max((score, lang)) → highest score, then largest code
+      SELECT doc_id, text, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(substring(text, 1, 200), '[一-鿿]') THEN 'zh'
+                WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred
+    FROM best WHERE rn = 1
+"""
+
+ORACLE_SQL["frame_sample"] = f"""
+    WITH f AS (SELECT 'vid' || CAST(doc_id AS VARCHAR) AS video_id,
+                      greatest(1, strlen(text) // 1024) AS n FROM documents)
+    SELECT video_id, CAST(u.i AS INTEGER) AS frame_index,
+           CAST({_frame_bytes_const()} AS BIGINT) AS frame_bytes
+    FROM f, unnest(range(0, CAST(n AS BIGINT), 10)) AS u(i)
 """
 
 
