@@ -377,10 +377,10 @@ class CrawlEngine:
                 part_lists[int(r["pid"])] = [r["rel"]]
             else:
                 part_lists[int(r["pid"])].append(r["rel"])
-            frontier_bytes += os.path.getsize(os.path.join(self.frontier.path, r["rel"]))
+            frontier_bytes += self.frontier.file_size(r["rel"])
         for _, r in ins.iterrows():
             part_lists[int(r["pid"])].append(r["rel"])
-            frontier_bytes += os.path.getsize(os.path.join(self.frontier.path, r["rel"]))
+            frontier_bytes += self.frontier.file_size(r["rel"])
         meta = {
             "selected": n_selected,
             "fetched": int(stat["n1"].sum()),

@@ -23,6 +23,10 @@ Commits are manifest-last: a crash mid-wave leaves the previous manifest
 authoritative and the wave re-runs idempotently (deterministic file names —
 the lease-recovery analog, QueueTaskRecover.scala:31-46).
 
+All IO goes through ``pyarrow.fs`` (sources/storage.py) — pass a
+``filesystem`` handle or an ``s3://...`` root and the store is
+backend-agnostic (S3SaveRawProvider analog, without per-backend code).
+
 The frontier IS the URL-seen set (a URL enters at most once): dedup-shard
 actors are rebuilt from the base files' ``url_hash`` column on resume — no
 separate filter snapshot to keep consistent.
@@ -30,13 +34,13 @@ separate filter snapshot to keep consistent.
 
 from __future__ import annotations
 
-import json
-import os
-import uuid
+import posixpath as pp
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from .storage import file_size, list_names, read_json, resolve_fs, write_json_atomic
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -66,11 +70,9 @@ DELTA_SCHEMA = pa.schema(
 # bounded slice of the partition, large enough for scan efficiency
 _ROW_GROUP_SIZE = 65_536
 
-_LIGHT = ("url_hash", "priority", "status", "attempt")
-
 
 def is_delta(path: str) -> bool:
-    return os.path.basename(path).startswith("del")
+    return path.rsplit("/", 1)[-1].startswith("del")
 
 
 def base_paths(paths: list[str]) -> list[str]:
@@ -78,7 +80,7 @@ def base_paths(paths: list[str]) -> list[str]:
     return [p for p in paths if not is_delta(p)]
 
 
-def fold_paths(paths: list[str], columns: list[str] | None = None) -> pa.Table:
+def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=None) -> pa.Table:
     """Current partition state from its manifest file list.
 
     Base files concat in order; deltas scatter (status, attempt) by
@@ -91,7 +93,9 @@ def fold_paths(paths: list[str], columns: list[str] | None = None) -> pa.Table:
     read_cols = columns
     if need_fold and columns is not None:
         read_cols = list(dict.fromkeys([*columns, "url_hash", "status", "attempt"]))
-    t = pa.concat_tables([pq.read_table(p, columns=read_cols) for p in bases]).combine_chunks()
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=read_cols, filesystem=filesystem) for p in bases]
+    ).combine_chunks()
     if not need_fold:
         return t
     uh = t["url_hash"].to_numpy().astype(np.uint64)
@@ -100,7 +104,7 @@ def fold_paths(paths: list[str], columns: list[str] | None = None) -> pa.Table:
     status = t["status"].to_numpy().copy()
     attempt = t["attempt"].to_numpy().copy()
     for dp in deltas:
-        d = pq.read_table(dp)
+        d = pq.read_table(dp, filesystem=filesystem)
         pos = order[np.searchsorted(sorted_uh, d["url_hash"].to_numpy().astype(np.uint64))]
         status[pos] = d["status"].to_numpy()
         attempt[pos] = d["attempt"].to_numpy()
@@ -111,7 +115,7 @@ def fold_paths(paths: list[str], columns: list[str] | None = None) -> pa.Table:
     return t
 
 
-def take_rows(paths: list[str], indices: np.ndarray, columns: list[str]) -> pa.Table:
+def take_rows(paths: list[str], indices: np.ndarray, columns: list[str], filesystem=None) -> pa.Table:
     """Row-group-pruned take of ``indices`` (ascending, global over the base
     files' concat order) reading only ``columns`` — the claim stage's heavy
     read (url/host for the selected top-K) touches O(K) row groups, not the
@@ -119,7 +123,7 @@ def take_rows(paths: list[str], indices: np.ndarray, columns: list[str]) -> pa.T
     out = []
     offset = 0
     for p in paths:
-        pf = pq.ParquetFile(p)
+        pf = pq.ParquetFile(filesystem.open_input_file(p) if filesystem is not None else p)
         n = pf.metadata.num_rows
         local = indices[(indices >= offset) & (indices < offset + n)] - offset
         if len(local):
@@ -132,22 +136,26 @@ def take_rows(paths: list[str], indices: np.ndarray, columns: list[str]) -> pa.T
             pos = np.searchsorted(kept, grp)
             out.append(t.take(pa.array(local - starts[grp] + new_starts[pos])))
         offset += n
-    return pa.concat_tables(out) if out else pq.read_table(paths[0], columns=columns).slice(0, 0)
+    return (
+        pa.concat_tables(out)
+        if out
+        else pq.read_table(paths[0], columns=columns, filesystem=filesystem).slice(0, 0)
+    )
 
 
 class FrontierStore:
-    def __init__(self, path: str, num_partitions: int):
-        self.path = path
+    def __init__(self, path: str, num_partitions: int, filesystem=None):
+        self.fs, self.path = resolve_fs(path, filesystem)
         self.num_partitions = num_partitions
 
     # ------------------------------------------------------------ manifests
     def _manifest_path(self, wave: int) -> str:
-        return os.path.join(self.path, f"manifest-w{wave:05d}.json")
+        return pp.join(self.path, f"manifest-w{wave:05d}.json")
 
     def latest_wave(self) -> int:
         waves = [
             int(f[len("manifest-w") : -len(".json")])
-            for f in os.listdir(self.path)
+            for f in list_names(self.fs, self.path)
             if f.startswith("manifest-w") and f.endswith(".json")
         ]
         if not waves:
@@ -156,60 +164,63 @@ class FrontierStore:
 
     def manifest(self, wave: int | None = None) -> dict:
         w = self.latest_wave() if wave is None else wave
-        with open(self._manifest_path(w)) as f:
-            return json.load(f)
+        return read_json(self.fs, self._manifest_path(w))
 
     def commit(self, wave: int, partition_files: dict[int, list[str]], meta: dict) -> None:
-        """Atomic wave commit: manifest written last (tmp + rename)."""
+        """Atomic wave commit: manifest written last (temp + move)."""
         m = {"wave": wave, "partitions": {str(k): v for k, v in sorted(partition_files.items())}, "meta": meta}
-        tmp = self._manifest_path(wave) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path(wave))
+        write_json_atomic(self.fs, self._manifest_path(wave), m)
 
     # -------------------------------------------------------------- writes
     def _write(self, rel: str, table: pa.Table, schema: pa.Schema) -> str:
-        full = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
+        full = pp.join(self.path, rel)
+        self.fs.create_dir(pp.dirname(full), recursive=True)
+        import uuid
+
         tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(table.cast(schema), tmp, row_group_size=_ROW_GROUP_SIZE)
-        os.replace(tmp, full)
+        pq.write_table(table.cast(schema), tmp, filesystem=self.fs, row_group_size=_ROW_GROUP_SIZE)
+        self.fs.move(tmp, full)
         return rel
 
     def write_main(self, pid: int, table: pa.Table, wave: int) -> str:
         """Consolidated partition version for this wave (deterministic name)."""
-        return self._write(os.path.join(f"p{pid:04d}", f"v{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
+        return self._write(pp.join(f"p{pid:04d}", f"v{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
 
     def write_inserts(self, pid: int, table: pa.Table, wave: int) -> str:
         """Rows discovered during this wave (deterministic name)."""
-        return self._write(os.path.join(f"p{pid:04d}", f"ins{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
+        return self._write(pp.join(f"p{pid:04d}", f"ins{wave + 1:05d}.parquet"), table, FRONTIER_SCHEMA)
 
     def write_delta(self, pid: int, table: pa.Table, wave: int) -> str:
         """This wave's (url_hash, status, attempt) flips (deterministic name)."""
-        return self._write(os.path.join(f"p{pid:04d}", f"del{wave + 1:05d}.parquet"), table, DELTA_SCHEMA)
+        return self._write(pp.join(f"p{pid:04d}", f"del{wave + 1:05d}.parquet"), table, DELTA_SCHEMA)
 
     @classmethod
-    def initialize(cls, path: str, seeds: pa.Table, num_partitions: int, meta: dict | None = None) -> "FrontierStore":
+    def initialize(
+        cls, path: str, seeds: pa.Table, num_partitions: int, meta: dict | None = None, filesystem=None
+    ) -> "FrontierStore":
         """Create the store with the seed frontier as wave -1."""
-        os.makedirs(path, exist_ok=True)
-        fs = cls(path, num_partitions)
+        fs_store = cls(path, num_partitions, filesystem=filesystem)
+        fs_store.fs.create_dir(fs_store.path, recursive=True)
         parts: dict[int, list[str]] = {}
         pid_col = seeds["partition_id"].to_numpy()
         for pid in range(num_partitions):  # every partition gets a file, even if empty
             sub = seeds.filter(pa.array(pid_col == pid))
-            parts[pid] = [fs.write_main(pid, sub, wave=-2)]
-        fs.commit(-1, parts, {"num_partitions": num_partitions, **(meta or {})})
-        return fs
+            parts[pid] = [fs_store.write_main(pid, sub, wave=-2)]
+        fs_store.commit(-1, parts, {"num_partitions": num_partitions, **(meta or {})})
+        return fs_store
 
     # ---------------------------------------------------------------- reads
     def partition_files(self, wave: int | None = None) -> dict[int, list[str]]:
         m = self.manifest(wave)
-        return {int(k): [os.path.join(self.path, r) for r in v] for k, v in m["partitions"].items()}
+        return {int(k): [pp.join(self.path, r) for r in v] for k, v in m["partitions"].items()}
+
+    def file_size(self, rel: str) -> int:
+        return file_size(self.fs, pp.join(self.path, rel))
 
     def base_row_count(self, wave: int | None = None) -> int:
         """Row count from base-file metadata only (deltas carry no rows)."""
         return sum(
-            pq.read_metadata(f).num_rows
+            pq.read_metadata(f, filesystem=self.fs).num_rows
             for files in self.partition_files(wave).values()
             for f in base_paths(files)
         )
@@ -217,7 +228,10 @@ class FrontierStore:
     def to_arrow(self, wave: int | None = None, columns: list[str] | None = None) -> pa.Table:
         """Current (delta-folded) frontier as one Arrow table."""
         return pa.concat_tables(
-            [fold_paths(files, columns) for _, files in sorted(self.partition_files(wave).items())]
+            [
+                fold_paths(files, columns, filesystem=self.fs)
+                for _, files in sorted(self.partition_files(wave).items())
+            ]
         )
 
     def to_dataset(self, wave: int | None = None, columns: list[str] | None = None):
@@ -226,9 +240,10 @@ class FrontierStore:
 
         parts = [files for _, files in sorted(self.partition_files(wave).items())]
         cols = columns
+        fs = self.fs
 
         def read_part(b: pa.Table) -> pa.Table:
-            return pa.concat_tables([fold_paths(parts[int(i)], cols) for i in b["i"].to_pylist()])
+            return pa.concat_tables([fold_paths(parts[int(i)], cols, filesystem=fs) for i in b["i"].to_pylist()])
 
         return (
             rd.from_items([{"i": i} for i in range(len(parts))])
