@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img-max", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap (ignored on a cluster)")
+    p.add_argument(
+        "--task-types",
+        default=None,
+        help="comma-separated task-type names → one sub-job per type under --root, "
+        "waves dispatched round-robin (multi-project master analog); each type "
+        "crawls its own synthetic web (seed = --seed + index in sorted order)",
+    )
     return p
 
 
@@ -58,25 +65,36 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
     try:
         from .pipelines import synthweb as sw
-        from .pipelines.api import CrawlJobConfig, run_crawl
+        from .pipelines.api import CrawlJobConfig, run_crawl, run_multi_crawl
 
-        cfg = CrawlJobConfig(
-            web=sw.WebConfig(
-                seed=args.seed,
-                n_hosts=args.hosts,
-                pages_per_host=args.pages,
-                n_seed_hosts=args.seed_hosts if args.seed_hosts is not None else args.hosts,
-                seeds_per_host=args.seeds_per_host,
-                max_links=args.max_links,
-                img_min=args.img_min,
-                img_max=args.img_max,
-            ),
-            num_partitions=args.partitions,
-            num_shards=args.shards,
-            wave_cap_per_partition=args.wave_cap,
-            max_waves=args.waves,
-        )
-        result = run_crawl(args.root, cfg)
+        def mk_config(seed: int) -> CrawlJobConfig:
+            return CrawlJobConfig(
+                web=sw.WebConfig(
+                    seed=seed,
+                    n_hosts=args.hosts,
+                    pages_per_host=args.pages,
+                    n_seed_hosts=args.seed_hosts if args.seed_hosts is not None else args.hosts,
+                    seeds_per_host=args.seeds_per_host,
+                    max_links=args.max_links,
+                    img_min=args.img_min,
+                    img_max=args.img_max,
+                ),
+                num_partitions=args.partitions,
+                num_shards=args.shards,
+                wave_cap_per_partition=args.wave_cap,
+                max_waves=args.waves,
+            )
+
+        if args.task_types:
+            names = sorted(n.strip() for n in args.task_types.split(",") if n.strip())
+            specs = {name: (None, mk_config(args.seed + i)) for i, name in enumerate(names)}
+            result = run_multi_crawl(args.root, specs)
+            for name in result["task_types"]:
+                for m in result["metrics"][name]:
+                    print(json.dumps({"event": "wave", "task_type": name, **m}))
+            print(json.dumps({"event": "summary", "waves_run": result["waves_run"]}))
+            return 0
+        result = run_crawl(args.root, mk_config(args.seed))
         for m in result["metrics"]:
             print(json.dumps({"event": "wave", **m}))
         totals = {

@@ -113,6 +113,68 @@ def build_pipeline(task_type: str, fetcher: Callable, **hooks) -> CrawlPipeline:
     return CrawlPipeline(task_type=task_type, fetcher=fetcher, **hooks)
 
 
+def run_multi_crawl(
+    root: str,
+    specs: dict[str, tuple[CrawlPipeline | None, CrawlJobConfig]],
+    max_rounds: int | None = None,
+) -> dict:
+    """Multi task-type job: several pipelines in one job, dispatched
+    round-robin (QueueTaskServiceImpl.scala:32-66 — the master serves each
+    advertised task type in turn; TaskTypeWithBatchSize advertisement).
+
+    Each task type owns its frontier/images/order tables under
+    ``root/<task_type>``; every round runs one wave of each non-drained
+    task type in deterministic (sorted task_type) order, so output is a
+    pure function of the specs — independent of scheduling. Resumable per
+    task type (each sub-job keeps its own wave manifests).
+    """
+    import os
+
+    from .wave import CrawlEngine
+
+    engines: dict[str, CrawlEngine] = {}
+    for name in sorted(specs):
+        pipeline, config = specs[name]
+        sub = os.path.join(root, name)
+        if os.path.exists(os.path.join(sub, "config.json")):
+            engines[name] = CrawlEngine.resume(sub, pipeline=pipeline)
+        else:
+            engines[name] = CrawlEngine.start(
+                sub,
+                config.web,
+                num_partitions=config.num_partitions,
+                num_shards=config.num_shards,
+                wave_cap_per_partition=config.wave_cap_per_partition,
+                decode_batch_size=config.decode_batch_size,
+                compact_files=config.compact_files,
+                pipeline=pipeline,
+            )
+    caps = {name: (max_rounds if max_rounds is not None else specs[name][1].max_waves) for name in specs}
+    metrics: dict[str, list] = {name: [] for name in engines}
+    active = set(engines)
+    try:
+        while active:
+            for name in sorted(active.copy()):
+                eng = engines[name]
+                wave = eng.frontier.latest_wave() + 1
+                if wave >= caps[name]:
+                    active.discard(name)
+                    continue
+                m = eng.run_wave(wave)
+                if m is None:
+                    active.discard(name)  # this task type's frontier drained
+                else:
+                    metrics[name].append(m)
+        return {
+            "task_types": sorted(engines),
+            "waves_run": {name: len(ms) for name, ms in metrics.items()},
+            "metrics": metrics,
+        }
+    finally:
+        for eng in engines.values():
+            eng.shutdown_shards()
+
+
 def run_crawl(
     root: str,
     config: CrawlJobConfig,

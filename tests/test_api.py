@@ -73,3 +73,49 @@ class TestJobCLI:
         out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", check=True).stdout
         waves = [json.loads(line)["wave"] for line in out2.strip().splitlines() if '"wave"' in line and '"event": "wave"' in line]
         assert all(w >= 2 for w in waves)
+
+
+class TestMultiTaskType:
+    """Multi task-type dispatch (QueueTaskServiceImpl.scala:32-66 analog):
+    several pipelines round-robin in one job, each with its own frontier."""
+
+    def _specs(self):
+        def cfg(seed):
+            return CrawlJobConfig(
+                web=sw.WebConfig(seed=seed, n_hosts=5, pages_per_host=20, n_seed_hosts=3, max_links=3),
+                num_partitions=2,
+                num_shards=1,
+                wave_cap_per_partition=8,
+                max_waves=3,
+            )
+
+        return {"imagesA": (None, cfg(42)), "imagesB": (None, cfg(43))}
+
+    def test_both_frontiers_progress_deterministically(self, ray_session, tmp_path):
+        from cloud_crawler_ray.pipelines.api import run_multi_crawl
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+        r1 = run_multi_crawl(str(tmp_path / "job1"), self._specs())
+        assert r1["task_types"] == ["imagesA", "imagesB"]
+        assert all(n >= 1 for n in r1["waves_run"].values())
+        # different seeds → genuinely different webs
+        a = CrawlEngine.resume(str(tmp_path / "job1" / "imagesA"))
+        b = CrawlEngine.resume(str(tmp_path / "job1" / "imagesB"))
+        ha = np.sort(a.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy())
+        hb = np.sort(b.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy())
+        assert not np.array_equal(ha, hb)
+        # a second identical job produces identical outputs (determinism)
+        run_multi_crawl(str(tmp_path / "job2"), self._specs())
+        a2 = CrawlEngine.resume(str(tmp_path / "job2" / "imagesA"))
+        assert np.array_equal(ha, np.sort(a2.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy()))
+        assert a.crawl_order().equals(a2.crawl_order())
+
+    def test_resume_continues_both(self, ray_session, tmp_path):
+        from cloud_crawler_ray.pipelines.api import run_multi_crawl
+
+        root = str(tmp_path / "jobr")
+        r1 = run_multi_crawl(root, self._specs(), max_rounds=1)
+        assert all(n == 1 for n in r1["waves_run"].values())
+        r2 = run_multi_crawl(root, self._specs(), max_rounds=3)
+        for name, ms in r2["metrics"].items():
+            assert all(m["wave"] >= 1 for m in ms), name
