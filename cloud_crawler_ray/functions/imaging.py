@@ -195,12 +195,20 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def synth_image(seed: int, w: int, h: int) -> np.ndarray:
-    """Deterministic PRF(seed) → smooth-ish RGB image (PSNR-meaningful)."""
+    """Deterministic PRF(seed) → smooth-ish RGB image (PSNR-meaningful).
+
+    Single-pass float32 kernels (one sin over (h,w,3), one float32 normal
+    draw) — ~3x cheaper and half the memory traffic of the per-channel
+    float64 version, which mattered once 32 decode actors contended for
+    bandwidth. Still a pure function of (seed, w, h).
+    """
     rng = np.random.Generator(np.random.PCG64(seed & 0xFFFFFFFFFFFFFFFF))
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    img = np.zeros((h, w, 3))
-    for c in range(3):
-        fx, fy, ph = rng.uniform(0.5, 3.0), rng.uniform(0.5, 3.0), rng.uniform(0, 2 * np.pi)
-        base = 127.5 + 90 * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h) + ph)
-        img[..., c] = base + rng.normal(0, 8, (h, w))
+    fx = rng.uniform(0.5, 3.0, 3).astype(np.float32)
+    fy = rng.uniform(0.5, 3.0, 3).astype(np.float32)
+    ph = rng.uniform(0, 2 * np.pi, 3).astype(np.float32)
+    yy = (np.arange(h, dtype=np.float32) / np.float32(h))[:, None, None]
+    xx = (np.arange(w, dtype=np.float32) / np.float32(w))[None, :, None]
+    arg = np.float32(2 * np.pi) * (fx[None, None, :] * xx + fy[None, None, :] * yy) + ph[None, None, :]
+    img = np.float32(127.5) + np.float32(90) * np.sin(arg)
+    img += rng.standard_normal((h, w, 3), dtype=np.float32) * np.float32(8)
     return np.clip(img, 0, 255).astype(np.uint8)

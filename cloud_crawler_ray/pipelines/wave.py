@@ -83,7 +83,9 @@ def _as_commit_status(t: pa.Table) -> pa.Table:
         {
             "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
             "partition_id": t["partition_id"],
-            "url": t["url"],
+            # status commits key on url_hash; the url string (the widest
+            # column) never needs to cross the exchange
+            "url": pa.array([""] * n, pa.string()),
             "url_hash": t["url_hash"],
             "host": t["host"],
             "depth": t["depth"],
@@ -287,11 +289,22 @@ class CrawlEngine:
         part_files = self.frontier.partition_files()
         old_manifest = self.frontier.manifest()
 
-        # ---- execution 1: pruned per-partition claim (+ light fetch)
+        # ---- execution 1: pruned per-partition claim (+ light fetch, whose
+        # status delta + order fragment are written inside the claim task)
         parts_ds = rd.from_items(
             [{"pid": pid, "paths": paths} for pid, paths in sorted(part_files.items())]
         ).repartition(len(part_files))
-        claimed = parts_ds.map_batches(ClaimStage(cfg, pl, wave, self.K), batch_size=1, **_PA)
+        claimed = parts_ds.map_batches(
+            ClaimStage(
+                cfg, pl, wave, self.K,
+                frontier_path=self.frontier.path,
+                num_partitions=P,
+                order_path=self.order.path,
+                compact_files=self.compact_files,
+            ),
+            batch_size=1,
+            **_PA,
+        )
         if not pl.light:
             # io fetch exchange: one task per (partition, host) fetch group
             claimed = claimed.groupby("fetch_group").map_groups(
@@ -337,16 +350,36 @@ class CrawlEngine:
             .map_batches(CheckRouter(shards), **_PA)
             .map_batches(_as_commit_cand, **_PA)
         )
-        status_rows = fetched.map_batches(_as_commit_status, **_PA)
-        commit = (
-            status_rows.union(cand_rows)
-            .groupby("partition_id")
-            .map_groups(
-                CommitPartition(
-                    self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files
-                ),
-                batch_format="pyarrow",
-            )
+        if pl.light:
+            # status deltas already committed inside the claim tasks — only
+            # candidate rows cross the wave's single exchange; markers carry
+            # the written relpaths out as result rows
+            def markers_to_result(t: pa.Table) -> pa.Table:
+                from ..stages.crawl import MARKER_STATUS, empty_result
+
+                m = t.filter(pc.equal(t["status"], MARKER_STATUS))
+                if m.num_rows == 0:
+                    return empty_result()
+                return pa.table(
+                    {
+                        "src": m["record"],
+                        "pid": m["partition_id"],
+                        "rel": m["url"],
+                        "rel2": m["host"],
+                        "n1": m["vtime"],
+                        "n2": pc.cast(m["attempt"], pa.int64()),
+                    }
+                )
+
+            commit_input = cand_rows
+            branches.append(fetched.map_batches(markers_to_result, **_PA))
+        else:
+            commit_input = fetched.map_batches(_as_commit_status, **_PA).union(cand_rows)
+        commit = commit_input.groupby("partition_id").map_groups(
+            CommitPartition(
+                self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files
+            ),
+            batch_format="pyarrow",
         )
         for b in branches:
             commit = commit.union(b)

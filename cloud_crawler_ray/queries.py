@@ -80,6 +80,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _row_count(sf_dir: str, table: str) -> int:
+    """Row count from parquet metadata (no data read) — used to size
+    group-bucket counts so per-group work stays bounded as data grows
+    (VERDICT r1: fixed bucket counts make group size linear in data)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 # --------------------------------------------------------------------------
 # Frontier / queue operator analogs (reference parity)
 # --------------------------------------------------------------------------
@@ -135,9 +144,9 @@ def q_dedup_keep_first(sf_dir: str):
 
     def local_first(t: pa.Table) -> pa.Table:
         # per-batch combiner: keep min doc_id per key before the shuffle
-        df = t.to_pandas()
-        idx = df.groupby(["lang", "source"], sort=False)["doc_id"].idxmin()
-        return pa.Table.from_pandas(df.loc[idx], preserve_index=False).replace_schema_metadata(None)
+        # (Arrow group_by — no pandas round-trip)
+        g = t.group_by(["lang", "source"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["lang", "source", "doc_id"])
 
     pre = ds.map_batches(local_first, **_PA)
     return pre.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="doc_id"))
@@ -497,13 +506,15 @@ def q_minhash_lsh_pairs(sf_dir: str):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(_MinHashStage, concurrency=(1, 4), **_PA)
+    # most (band_id, band_key) buckets are singletons: grouping by a coarse
+    # bucket and pairing vectorized inside beats one map_groups dispatch per
+    # LSH bucket (~one per doc×band); bucket count scales with the corpus so
+    # per-group size stays ~bounded (≈64 docs × 16 bands per bucket)
+    n_buckets = max(256, _row_count(sf_dir, "documents") // 64)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # most (band_id, band_key) buckets are singletons: grouping by a
-        # coarse bucket (256 Python calls) and pairing vectorized inside
-        # beats one map_groups dispatch per LSH bucket (~one per doc×band)
         return t.append_column(
-            "bucket", pa.array((t["band_key"].to_numpy() % np.uint64(256)).astype(np.int32), pa.int32())
+            "bucket", pa.array((t["band_key"].to_numpy() % np.uint64(n_buckets)).astype(np.int64), pa.int64())
         )
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -546,6 +557,7 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     """
     t_thresh = 0.5
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    n_buckets = max(256, _row_count(sf_dir, "documents") // 64)
 
     def shingle_sets(t: pa.Table) -> pa.Table:
         # sets ride as binary blobs (sorted uint64 LE) — Acero hash joins
@@ -582,7 +594,7 @@ def q_ngram_jaccard_dedup(sf_dir: str):
                 "ph": pa.array(ph, pa.uint64()),
                 "lang": pa.array(langs, pa.string()),
                 "source": pa.array(srcs, pa.string()),
-                "bucket": pa.array((ph % np.uint64(256)).astype(np.int32), pa.int32()),
+                "bucket": pa.array((ph % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
             }
         )
 
@@ -1287,6 +1299,7 @@ def q_phash_neardup(sf_dir: str):
     from .functions.text import hamming64
 
     ds = _read(sf_dir, "documents", ["doc_id"])
+    n_buckets = max(64, _row_count(sf_dir, "documents") // 64)
 
     def make_and_hash(t: pa.Table) -> pa.Table:
         ids, phs = [], []
@@ -1315,7 +1328,7 @@ def q_phash_neardup(sf_dir: str):
                 "band": pa.array(np.concatenate(out_band), pa.int32()),
                 "key": pa.array(np.concatenate(out_key), pa.int64()),
                 "phash": pa.array(np.concatenate(out_ph), pa.int64()),
-                "bucket": pa.array((np.concatenate(out_key) % 64).astype(np.int32), pa.int32()),
+                "bucket": pa.array((np.concatenate(out_key) % n_buckets).astype(np.int64), pa.int64()),
             }
         )
 

@@ -157,6 +157,84 @@ def _group_key(pid: int, host: str) -> int:
     return int(hash64_scalar(f"{pid}|{host}")) & 0x7FFFFFFFFFFFFFFF
 
 
+MARKER_STATUS = -1  # meta row in FETCH_OUT_SCHEMA carrying a light-mode commit
+
+
+def _marker_row(pid: int, src: str, rel: str, order_rel: str, n_order: int, n_selected: int) -> pa.Table:
+    """Light-mode commit receipt: url=delta/main relpath, host=order relpath,
+    record=src kind, vtime=fetched count, attempt=selected count."""
+    return pa.table(
+        {
+            "url": pa.array([rel], pa.string()),
+            "url_hash": pa.array([0], pa.uint64()),
+            "host": pa.array([order_rel], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "priority": pa.array([0.0], pa.float32()),
+            "discovered_at": pa.array([0], pa.int32()),
+            "partition_id": pa.array([pid], pa.int32()),
+            "status": pa.array([MARKER_STATUS], pa.int8()),
+            "attempt": pa.array([n_selected], pa.int32()),
+            "vtime": pa.array([n_order], pa.int64()),
+            "fetched": pa.array([False], pa.bool_()),
+            "fetch_group": pa.array([-1], pa.int64()),
+            "links": pa.array([None], pa.list_(pa.string())),
+            "record": pa.array([src], pa.string()),
+            "body": pa.array([None], pa.binary()),
+        }
+    ).cast(FETCH_OUT_SCHEMA)
+
+
+def commit_status_files(
+    store: FrontierStore,
+    pid: int,
+    paths: list[str],
+    rows: pa.Table,
+    wave: int,
+    order_path: str,
+    compact_files: int,
+) -> tuple[str, str, str, int]:
+    """Write one partition's wave-status commit: the ``del*`` file (or, when
+    the file list is long, the folded+consolidated ``v*`` main — amortized
+    compaction) plus the crawl-order fragment with the deterministic UA
+    column. Shared by the light path (runs inside the claim task — zero
+    exchanges, like the fused r1 design) and the io path (runs inside the
+    CommitPartition group task). Returns (src, rel, order_rel, n_order)."""
+    rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
+    delta = pa.table({"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]})
+    if len(paths) + 1 >= compact_files:
+        full = fsrc.fold_paths(paths, filesystem=store.fs)
+        uh_all = full["url_hash"].to_numpy().astype(np.uint64)
+        order = np.argsort(uh_all, kind="stable")
+        pos = order[np.searchsorted(uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64))]
+        status = full["status"].to_numpy().copy()
+        attempt = full["attempt"].to_numpy().copy()
+        status[pos] = delta["status"].to_numpy()
+        attempt[pos] = delta["attempt"].to_numpy()
+        full = full.set_column(full.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
+        full = full.set_column(full.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32()))
+        rel = store.write_main(pid, full.cast(FRONTIER_SCHEMA), wave)
+        src = "compact"
+    else:
+        rel = store.write_delta(pid, delta, wave)
+        src = "delta"
+    forder = rows.filter(rows["fetched"])
+    order_rel = ""
+    if forder.num_rows:
+        ot = pa.table(
+            {
+                "wave": pa.array(np.full(forder.num_rows, wave, np.int32), pa.int32()),
+                "vtime": forder["vtime"],
+                "url_hash": forder["url_hash"],
+                "host": forder["host"],
+                "ua": pa.array(user_agents(forder["url_hash"].to_numpy()), pa.string()),
+                "partition_id": forder["partition_id"],
+            }
+        ).cast(ORDER_SCHEMA)
+        ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
+        order_rel = LanceLikeTable(order_path).write_fragment(ot, name=f"w{wave:05d}-p{pid:04d}")
+    return src, rel, order_rel, forder.num_rows
+
+
 class ClaimStage:
     """Per-partition claim (one task per frontier partition).
 
@@ -177,11 +255,25 @@ class ClaimStage:
     (BatchTasksValidator / TasksBatchController.scala:115-120).
     """
 
-    def __init__(self, cfg: sw.WebConfig, pipeline, wave: int, k: int):
+    def __init__(
+        self,
+        cfg: sw.WebConfig,
+        pipeline,
+        wave: int,
+        k: int,
+        frontier_path: str | None = None,
+        num_partitions: int = 0,
+        order_path: str | None = None,
+        compact_files: int = 8,
+    ):
         self.cfg = cfg
         self.pipeline = pipeline
         self.wave = wave
         self.k = k
+        self.frontier_path = frontier_path
+        self.P = num_partitions
+        self.order_path = order_path
+        self.compact_files = compact_files
         self.__name__ = f"ClaimStage(w{wave})"
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -216,15 +308,26 @@ class ClaimStage:
             keep = np.ones(claim.num_rows, bool)
             if pl.validator is not None:
                 keep = np.asarray(pl.validator(claim), bool)
+            part_rows: list[pa.Table] = []
             if (~keep).any():
-                out.append(self._rows(pid, claim.filter(pa.array(~keep)), skipped=True))
+                part_rows.append(self._rows(pid, claim.filter(pa.array(~keep)), skipped=True))
             kept = claim.filter(pa.array(keep))
-            if kept.num_rows == 0:
+            if kept.num_rows:
+                part_rows.append(self._fetch_light(pid, kept) if pl.light else self._rows(pid, kept, skipped=False))
+            if not part_rows:
                 continue
+            rows = pa.concat_tables(part_rows)
+            out.append(rows)
             if pl.light:
-                out.append(self._fetch_light(pid, kept))
-            else:
-                out.append(self._rows(pid, kept, skipped=False))
+                # fused status commit: this task already knows the final
+                # statuses, so the delta + order fragment are written HERE —
+                # zero exchanges for the status path (only out-link
+                # candidates cross the wave's one shuffle, as in r1)
+                store = FrontierStore(self.frontier_path, self.P)
+                src, rel, order_rel, n_order = commit_status_files(
+                    store, pid, list(paths), rows, self.wave, self.order_path, self.compact_files
+                )
+                out.append(_marker_row(pid, src, rel, order_rel, n_order, rows.num_rows))
         return pa.concat_tables(out) if out else _empty_fetch_out()
 
     def _rows(self, pid: int, claim: pa.Table, skipped: bool) -> pa.Table:
@@ -471,7 +574,9 @@ def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> p
     (parent_hash, link_index) tie-break key of rule §4.3(c).
     """
     links = t["links"]
-    counts = np.array([len(x) if x is not None else 0 for x in links.to_pylist()], np.int64)
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    counts = pc.list_value_length(links).fill_null(0).to_numpy().astype(np.int64)
     if counts.sum() == 0:
         return pa.table(
             {
@@ -485,9 +590,11 @@ def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> p
                 "partition_id": pa.array([], pa.int32()),
             }
         )
-    rep = np.repeat(np.arange(len(t), dtype=np.int64), counts)
-    flat_hrefs = pa.array([h for row in links.to_pylist() for h in (row or [])], pa.string())
-    link_index = np.concatenate([np.arange(c, dtype=np.int32) for c in counts if c > 0]) if counts.sum() else np.zeros(0, np.int32)
+    # zero-copy explode: flatten + parent indices instead of to_pylist loops
+    rep = pc.list_parent_indices(links).to_numpy().astype(np.int64)
+    flat_hrefs = pc.list_flatten(links)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    link_index = (np.arange(len(rep)) - starts[rep]).astype(np.int32)
     parent_hash = t["url_hash"].to_numpy()[rep]
     child_depth = (t["depth"].to_numpy()[rep] + 1).astype(np.int32)
     parent_host = pc.take(t["host"], pa.array(rep))
@@ -712,44 +819,10 @@ class CommitPartition:
         return pa.concat_tables(out) if out else empty_result()
 
     def _commit_status(self, pid: int, paths: list[str], store: FrontierStore, rows: pa.Table) -> pa.Table:
-        rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
-        delta = pa.table(
-            {"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]}
+        src, rel, order_rel, n_order = commit_status_files(
+            store, pid, paths, rows, self.wave, self.order_path, self.compact_files
         )
-        if len(paths) + 1 >= self.compact_files:
-            full = fsrc.fold_paths(paths)
-            uh_all = full["url_hash"].to_numpy().astype(np.uint64)
-            order = np.argsort(uh_all, kind="stable")
-            pos = order[np.searchsorted(uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64))]
-            status = full["status"].to_numpy().copy()
-            attempt = full["attempt"].to_numpy().copy()
-            status[pos] = delta["status"].to_numpy()
-            attempt[pos] = delta["attempt"].to_numpy()
-            full = full.set_column(full.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
-            full = full.set_column(
-                full.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32())
-            )
-            rel = store.write_main(pid, full.cast(FRONTIER_SCHEMA), self.wave)
-            src = "compact"
-        else:
-            rel = store.write_delta(pid, delta, self.wave)
-            src = "delta"
-        forder = rows.filter(rows["fetched"])
-        order_rel = ""
-        if forder.num_rows:
-            ot = pa.table(
-                {
-                    "wave": pa.array(np.full(forder.num_rows, self.wave, np.int32), pa.int32()),
-                    "vtime": forder["vtime"],
-                    "url_hash": forder["url_hash"],
-                    "host": forder["host"],
-                    "ua": pa.array(user_agents(forder["url_hash"].to_numpy()), pa.string()),
-                    "partition_id": forder["partition_id"],
-                }
-            ).cast(ORDER_SCHEMA)
-            ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
-            order_rel = LanceLikeTable(self.order_path).write_fragment(ot, name=f"w{self.wave:05d}-p{pid:04d}")
-        return result_row(src, pid, rel=rel, rel2=order_rel, n1=forder.num_rows, n2=rows.num_rows)
+        return result_row(src, pid, rel=rel, rel2=order_rel, n1=n_order, n2=rows.num_rows)
 
     def _commit_inserts(self, pid: int, paths: list[str], store: FrontierStore, cand: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
