@@ -117,6 +117,7 @@ def run_multi_crawl(
     root: str,
     specs: dict[str, tuple[CrawlPipeline | None, CrawlJobConfig]],
     max_rounds: int | None = None,
+    chains: dict[str, str] | None = None,
 ) -> dict:
     """Multi task-type job: several pipelines in one job, dispatched
     round-robin (QueueTaskServiceImpl.scala:32-66 — the master serves each
@@ -127,6 +128,12 @@ def run_multi_crawl(
     task type in deterministic (sorted task_type) order, so output is a
     pure function of the specs — independent of scheduling. Resumable per
     task type (each sub-job keeps its own wave manifests).
+
+    ``chains={"a": "b"}`` is the projectId → nextProjectId chaining of the
+    reference (task.proto:7-17; SqlQueueTaskProvider joins next_project_id):
+    URLs that reach DONE in a wave of task type "a" are pushed onto "b"'s
+    frontier (pushTasks analog — anti-join dedup, idempotent), reviving "b"
+    if it had drained.
     """
     import os
 
@@ -150,6 +157,10 @@ def run_multi_crawl(
                 pipeline=pipeline,
             )
     caps = {name: (max_rounds if max_rounds is not None else specs[name][1].max_waves) for name in specs}
+    chains = chains or {}
+    for src, dst in chains.items():
+        if src not in engines or dst not in engines:
+            raise ValueError(f"chain {src!r} -> {dst!r} references unknown task type")
     metrics: dict[str, list] = {name: [] for name in engines}
     active = set(engines)
     try:
@@ -163,8 +174,17 @@ def run_multi_crawl(
                 m = eng.run_wave(wave)
                 if m is None:
                     active.discard(name)  # this task type's frontier drained
-                else:
-                    metrics[name].append(m)
+                    continue
+                metrics[name].append(m)
+                dst = chains.get(name)
+                if dst is not None:
+                    done_urls = eng.wave_done_urls(wave)
+                    if done_urls:
+                        pushed = engines[dst].push_tasks(done_urls)
+                        m["chained_to"] = dst
+                        m["chained_pushed"] = pushed
+                        if pushed and dst not in active and engines[dst].frontier.latest_wave() + 1 < caps[dst]:
+                            active.add(dst)  # revived by new work
         return {
             "task_types": sorted(engines),
             "waves_run": {name: len(ms) for name, ms in metrics.items()},

@@ -427,6 +427,119 @@ class CrawlEngine:
         self.frontier.commit(wave, part_lists, meta)
         return {"wave": wave, **meta}
 
+    # ----------------------------------------------------- external inserts
+    def push_tasks(self, urls: list[str], depth: int = 0) -> int:
+        """Insert externally-supplied URLs into the frontier — the master's
+        pushTasks RPC analog (QueueTaskService.pushTasks; anti-join dedup
+        SqlQueueTaskProvider.scala:58-68). Canonicalizes, dedups within the
+        batch (first wins), anti-joins each partition's committed rows,
+        writes content-tagged push files and re-commits the current wave
+        manifest (atomic replace) — an identical re-push is a no-op.
+        Returns the number of genuinely new URLs inserted."""
+        import hashlib
+
+        canon = canonicalize(urls).drop_null()
+        if len(canon) == 0:
+            return 0
+        uh = hash64(canon)
+        _, first_idx = np.unique(uh, return_index=True)
+        canon = canon.take(pa.array(np.sort(first_idx)))
+        uh = hash64(canon)
+        hosts = extract_host(canon)
+        depths = np.full(len(uh), depth, np.int32)
+        pids = host_partition(hosts, self.P, seed=self.cfg.seed)
+        t = pa.table(
+            {
+                "url": canon,
+                "url_hash": pa.array(uh, pa.uint64()),
+                "host": hosts,
+                "depth": pa.array(depths, pa.int32()),
+                "priority": pa.array(sw.priority_of(uh, depths), pa.float32()),
+                "status": pa.array(np.full(len(uh), sem.WAIT, np.int8), pa.int8()),
+                "attempt": pa.array(np.zeros(len(uh), np.int32), pa.int32()),
+                "discovered_at": pa.array(
+                    np.full(len(uh), self.frontier.latest_wave() + 1, np.int32), pa.int32()
+                ),
+                "parent_hash": pa.array(np.zeros(len(uh), np.uint64), pa.uint64()),
+                "link_index": pa.array(np.arange(len(uh), dtype=np.int32), pa.int32()),
+                "partition_id": pa.array(pids, pa.int32()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        from ..sources import frontier as fsrc
+
+        wave = self.frontier.latest_wave()
+        manifest = self.frontier.manifest(wave)
+        part_lists = {int(k): list(v) for k, v in manifest["partitions"].items()}
+        inserted = 0
+        for pid in np.unique(pids):
+            sub = t.filter(pc.equal(t["partition_id"], int(pid)))
+            paths = [os.path.join(self.frontier.path, r) for r in part_lists[int(pid)]]
+            seen = np.concatenate(
+                [
+                    pq.read_table(p, columns=["url_hash"], filesystem=self.frontier.fs)["url_hash"].to_numpy()
+                    for p in fsrc.base_paths(paths)
+                ]
+            ).astype(np.uint64)
+            fresh = sub.filter(pa.array(~np.isin(sub["url_hash"].to_numpy().astype(np.uint64), seen)))
+            if fresh.num_rows == 0:
+                continue
+            fresh = fresh.take(pc.sort_indices(fresh, sort_keys=[("url_hash", "ascending")]))
+            tag = hashlib.sha256(fresh["url_hash"].to_numpy().tobytes()).hexdigest()[:12]
+            rel = self.frontier.write_push(int(pid), fresh, tag)
+            if rel not in part_lists[int(pid)]:
+                part_lists[int(pid)].append(rel)
+            inserted += fresh.num_rows
+            if self.shards is not None:
+                h = fresh["url_hash"].to_numpy().astype(np.uint64)
+                sid = h % np.uint64(self.S)
+                for s in range(self.S):
+                    m = sid == s
+                    if m.any():
+                        self.shards[s].add_seen.remote(h[m])
+        if inserted:
+            meta = dict(manifest.get("meta", {}))
+            meta["pushed"] = meta.get("pushed", 0) + inserted
+            self.frontier.commit(wave, part_lists, meta)
+        return inserted
+
+    def wave_done_urls(self, wave: int) -> list[str]:
+        """URLs that reached DONE in the given wave — read from that wave's
+        status commits joined back to the frontier (the nextProjectId
+        chaining source: crawl results of one project seed the next,
+        task.proto projectId/nextProjectId)."""
+        import pyarrow.parquet as pq
+
+        from ..sources import frontier as fsrc
+
+        done_hashes = []
+        for pid in range(self.P):
+            # the wave's delta file exists even for compacted partitions
+            # (written unreferenced by commit_status_files)
+            path = os.path.join(self.frontier.path, f"p{pid:04d}", f"del{wave + 1:05d}.parquet")
+            info = self.frontier.fs.get_file_info(path)
+            from pyarrow import fs as pafs
+
+            if info.type == pafs.FileType.NotFound:
+                continue
+            d = pq.read_table(path, filesystem=self.frontier.fs)
+            done_hashes.append(
+                d.filter(pc.equal(d["status"], sem.DONE))["url_hash"].to_numpy().astype(np.uint64)
+            )
+        if not done_hashes:
+            return []
+        want = np.unique(np.concatenate(done_hashes))
+        # pull urls for those hashes partition-by-partition (pruned columns)
+        urls: list[str] = []
+        for pid, paths in self.frontier.partition_files(wave).items():
+            t = fsrc.fold_paths(paths, columns=["url", "url_hash"], filesystem=self.frontier.fs)
+            hh = t["url_hash"].to_numpy().astype(np.uint64)
+            mask = np.isin(hh, want)
+            if mask.any():
+                urls.extend(t.filter(pa.array(mask))["url"].to_pylist())
+        return sorted(urls)
+
     # --------------------------------------------------------------- export
     def metrics_table(self) -> pa.Table:
         """Per-wave metrics from the committed manifests (the notification /

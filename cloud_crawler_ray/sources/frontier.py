@@ -194,6 +194,11 @@ class FrontierStore:
         """This wave's (url_hash, status, attempt) flips (deterministic name)."""
         return self._write(pp.join(f"p{pid:04d}", f"del{wave + 1:05d}.parquet"), table, DELTA_SCHEMA)
 
+    def write_push(self, pid: int, table: pa.Table, tag: str) -> str:
+        """Externally-pushed rows (pushTasks analog) — content-tagged name so
+        an identical re-push is idempotent."""
+        return self._write(pp.join(f"p{pid:04d}", f"push-{tag}.parquet"), table, FRONTIER_SCHEMA)
+
     @classmethod
     def initialize(
         cls, path: str, seeds: pa.Table, num_partitions: int, meta: dict | None = None, filesystem=None

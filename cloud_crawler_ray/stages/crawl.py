@@ -201,6 +201,10 @@ def commit_status_files(
     CommitPartition group task). Returns (src, rel, order_rel, n_order)."""
     rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
     delta = pa.table({"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]})
+    # the delta file is written even when this wave compacts (it is then NOT
+    # referenced by the manifest): it is the wave's status record, which
+    # wave_done_urls / project chaining reads back per wave
+    delta_rel = store.write_delta(pid, delta, wave)
     if len(paths) + 1 >= compact_files:
         full = fsrc.fold_paths(paths, filesystem=store.fs)
         uh_all = full["url_hash"].to_numpy().astype(np.uint64)
@@ -215,7 +219,7 @@ def commit_status_files(
         rel = store.write_main(pid, full.cast(FRONTIER_SCHEMA), wave)
         src = "compact"
     else:
-        rel = store.write_delta(pid, delta, wave)
+        rel = delta_rel
         src = "delta"
     forder = rows.filter(rows["fetched"])
     order_rel = ""

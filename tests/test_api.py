@@ -119,3 +119,57 @@ class TestMultiTaskType:
         r2 = run_multi_crawl(root, self._specs(), max_rounds=3)
         for name, ms in r2["metrics"].items():
             assert all(m["wave"] >= 1 for m in ms), name
+
+
+class TestPushTasksAndChaining:
+    """pushTasks RPC analog + projectId→nextProjectId chaining
+    (task.proto:7-17; QueueTaskService.pushTasks; anti-join dedup
+    SqlQueueTaskProvider.scala:58-68)."""
+
+    def test_push_tasks_dedup_and_idempotence(self, ray_session, tmp_path):
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+        cfg = sw.WebConfig(n_hosts=4, pages_per_host=30, n_seed_hosts=2, max_links=2)
+        eng = CrawlEngine.start(str(tmp_path / "push"), cfg, num_partitions=2, num_shards=1,
+                                wave_cap_per_partition=10)
+        eng.run(max_waves=2)
+        try:
+            before = eng.frontier.base_row_count()
+            existing = eng.frontier.to_arrow(columns=["url"])["url"].to_pylist()[0]
+            new_urls = [cfg.page_url(3, 25), cfg.page_url(3, 26), cfg.page_url(3, 25), existing]
+            n = eng.push_tasks(new_urls)
+            assert n == 2  # in-batch dup + already-known url filtered out
+            assert eng.frontier.base_row_count() == before + 2
+            assert eng.push_tasks(new_urls) == 0  # idempotent re-push
+            assert eng.frontier.base_row_count() == before + 2
+            # pushed rows are crawlable: the next wave picks them up
+            r = eng.run(max_waves=6)
+            uh = eng.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy()
+            assert len(uh) == len(np.unique(uh))
+        finally:
+            eng.shutdown_shards()
+
+    def test_chained_task_types(self, ray_session, tmp_path):
+        from cloud_crawler_ray.functions.hashing import hash64
+        from cloud_crawler_ray.pipelines.api import run_multi_crawl
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+        from cloud_crawler_ray.pipelines import semantics as sem
+
+        def cfg(seed, seeds):
+            return CrawlJobConfig(
+                web=sw.WebConfig(seed=seed, n_hosts=4, pages_per_host=20, n_seed_hosts=seeds, max_links=2),
+                num_partitions=2, num_shards=1, wave_cap_per_partition=8, max_waves=3,
+            )
+
+        specs = {"alpha": (None, cfg(42, 2)), "beta": (None, cfg(43, 0))}  # beta starts empty
+        root = str(tmp_path / "chain")
+        r = run_multi_crawl(root, specs, chains={"alpha": "beta"})
+        assert any(m.get("chained_pushed", 0) > 0 for m in r["metrics"]["alpha"])
+        assert r["waves_run"]["beta"] >= 1  # beta revived by alpha's pushes
+        a = CrawlEngine.resume(root + "/alpha")
+        b = CrawlEngine.resume(root + "/beta")
+        af = a.frontier.to_arrow(columns=["url", "status"])
+        done_urls = [u for u, s in zip(af["url"].to_pylist(), af["status"].to_pylist()) if s == sem.DONE]
+        b_hashes = set(b.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_pylist())
+        missing = [u for u in done_urls if int(hash64([u])[0]) not in b_hashes]
+        assert not missing, f"alpha DONE urls absent from beta frontier: {missing[:3]}"
