@@ -10,6 +10,10 @@ Modes:
     python bench.py --scaling    the same crawl at num_cpus=8 and 32 in
                                  fresh processes → throughputs + efficiency
                                  (the sandbox proxy for N vs 4N clusters)
+    python bench.py --large      crawl-only at a 10^6-URL universe
+                                 (2500 hosts x 400 pages, 45k seeds) —
+                                 the larger-shape leg showing per-wave
+                                 fixed costs amortized
 
 This script OWNS its Ray session (init/shutdown) — library code never does.
 """
@@ -268,5 +272,13 @@ def scaling_run() -> dict:
 
 
 if __name__ == "__main__":
-    result = scaling_run() if "--scaling" in sys.argv else full_run()
+    if "--large" in sys.argv:
+        # 10^6-URL universe leg: 2500 hosts × 400 pages, 45k seeds
+        CRAWL.update(n_hosts=2500, n_seed_hosts=2500, seeds_per_host=18, wave_cap_per_partition=3000)
+        os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
+        result = full_run()
+    elif "--scaling" in sys.argv:
+        result = scaling_run()
+    else:
+        result = full_run()
     print(json.dumps(result))

@@ -39,6 +39,30 @@ def ws_token_count(texts) -> np.ndarray:
     return np.array([len(ws_tokens(t)) for t in texts], np.int64)
 
 
+def ws_token_count_arrow(texts) -> "object":
+    """Vectorized whitespace token count over an Arrow string array
+    (pyarrow.compute end-to-end — no Python row loop). Semantics match
+    ``ws_token_count`` / SQL ``string_split_regex(trim(t), '\\s+')``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts, pa.string())
+    trimmed = pc.utf8_trim_whitespace(arr)
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+
+
+def punct_ratio_arrow(texts) -> "object":
+    """Vectorized punctuation ratio (count_substring_regex / length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts, pa.string())
+    n = pc.cast(pc.utf8_length(arr), pa.float64())
+    p = pc.cast(pc.count_substring_regex(arr, r"[!-/:-@\[-`{-~]"), pa.float64())
+    return pc.if_else(pc.equal(n, 0.0), pa.scalar(0.0, pa.float64()), pc.divide(p, n))
+
+
 def bpe_token_count(texts) -> np.ndarray:
     """Count of BPE-ish pre-tokens (letters runs / digit runs / single punct)."""
     return np.array([len(_TOKEN_RE.findall(t)) for t in texts], np.int64)

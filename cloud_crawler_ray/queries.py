@@ -409,26 +409,27 @@ def q_running_sum(sf_dir: str):
 
 
 def q_token_count(sf_dir: str):
+    """Whitespace token count per doc — fully vectorized pyarrow.compute
+    (split_pattern_regex + list_value_length, no Python row loop)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": T.ws_token_count(t["text"].to_pylist())})
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": T.ws_token_count_arrow(t["text"])})
 
     return ds.map_batches(f, **_PA)
 
 
 def q_text_quality(sf_dir: str):
-    """Length/punct quality metrics per doc (SQL-checkable subset)."""
+    """Length/punct quality metrics per doc (SQL-checkable subset) —
+    vectorized pyarrow.compute kernels."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n = np.array([len(x) for x in texts], np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_chars_actual": n,
-                "punct_ratio": np.round(T.punct_ratio(texts), 6),
+                "n_chars_actual": pc.cast(pc.utf8_length(t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]), pa.int64()),
+                "punct_ratio": pc.round(T.punct_ratio_arrow(t["text"]), 6),
             }
         )
 
@@ -728,6 +729,55 @@ def q_embedding_neardup(sf_dir: str):
     return ds.groupby("label").map_groups(block, batch_format="pandas")
 
 
+def q_embedding_dedup_groups(sf_dir: str):
+    """Near-dup cluster canonicalization: connected components over the
+    embedding near-dup graph (label-blocked cosine ≥ 0.3), every vector
+    labeled with its component's minimum vec_id — the "pick one canonical
+    doc per duplicate cluster" step of a training-data dedup pipeline.
+
+    Distributed shape: iterative min-label propagation — each round is one
+    hash join (edges ⋈ labels) + a groupby-min, i.e. two bounded shuffles;
+    rounds = graph diameter (near-dup components are shallow). No
+    driver-side graph: labels and edges stay Datasets throughout; the only
+    driver value per round is the labels checksum for the fixpoint test.
+    """
+    edges_src = q_embedding_neardup(sf_dir)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy()
+        b = t["vec_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = edges_src.map_batches(symmetrize, **_PA).materialize()
+    labels = (
+        _read(sf_dir, "embeddings", ["vec_id"])
+        .map_batches(lambda t: pa.table({"vec_id": t["vec_id"], "label": t["vec_id"]}), **_PA)
+        .materialize()
+    )
+    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    prev_sum = None
+    for _ in range(64):  # diameter bound; near-dup graphs converge in a few rounds
+        nb = edges.join(
+            labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("vec_id",)
+        )
+        cand = nb.map_batches(lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}), **_PA)
+        labels = (
+            cand.union(labels).groupby("vec_id").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break  # labels monotonically decrease; equal sum == fixpoint
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"], "canonical_id": t["label"]}), **_PA
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -755,6 +805,7 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_dedup_groups": q_embedding_dedup_groups,
 }
 
 ORACLE_SQL = {
@@ -880,6 +931,20 @@ ORACLE_SQL = {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
+    "embedding_dedup_groups": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        ), reach(node, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT p.u, reach.r FROM pairs p JOIN reach ON p.v = reach.node
+        )
+        SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node
     """,
 }
 
