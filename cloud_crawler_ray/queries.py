@@ -729,6 +729,74 @@ def q_embedding_neardup(sf_dir: str):
     return ds.groupby("label").map_groups(block, batch_format="pandas")
 
 
+def q_sample_split(sf_dir: str):
+    """Deterministic train/val/test split — the dataset-curation staple.
+
+    Split key = Knuth multiplicative hash of doc_id (fits int64, so the
+    DuckDB oracle reproduces it exactly); 80/10/10 by key range. Pure
+    map_batches — embarrassingly parallel, no shuffle, stable across runs
+    and cluster sizes.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def split(t: pa.Table) -> pa.Table:
+        key = (t["doc_id"].to_numpy().astype(np.int64) * 2654435761) % 4294967296
+        frac = key / 4294967296.0
+        s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pa.array(s.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(split, **_PA)
+
+
+def q_top_terms(sf_dir: str):
+    """Top-5 terms per language by document frequency — the word-count /
+    vocabulary-stats staple over the corpus.
+
+    Shape: vectorized tokenize+explode (split_pattern_regex → list_flatten,
+    distinct per doc), per-batch partial counts via Arrow group_by (the
+    combiner that keeps the shuffle at one row per (lang, token, batch)),
+    global groupby-sum, then per-lang top-k. Ties broken by token asc.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def explode_terms(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks)
+        rep = pc.list_parent_indices(toks)
+        one = pa.table(
+            {
+                "lang": pc.take(t["lang"], rep),
+                "doc": pc.take(t["doc_id"], rep),
+                "token": flat,
+            }
+        ).filter(pc.not_equal(flat, ""))
+        # document frequency: distinct (lang, doc, token), then partial count
+        one = one.group_by(["lang", "doc", "token"]).aggregate([]).drop_columns(["doc"])
+        g = one.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "partial_df"])
+
+    partials = ds.map_batches(explode_terms, **_PA)
+    agg = partials.groupby(["lang", "token"]).aggregate(Sum("partial_df", alias_name="df"))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(np.zeros(t.num_rows, np.int32), pa.int32()))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "df", "token"], ascending=[True, False, True], kind="stable")
+        out = g.groupby("lang", sort=False).head(5)
+        return out[["lang", "token", "df"]]
+
+    # langs are low-cardinality: one group task finalizes all of them
+    return agg.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(topk, batch_format="pandas")
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Near-dup cluster canonicalization: connected components over the
     embedding near-dup graph (label-blocked cosine ≥ 0.3), every vector
@@ -806,6 +874,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_dedup_groups": q_embedding_dedup_groups,
+    "sample_split": q_sample_split,
+    "top_terms": q_top_terms,
 }
 
 ORACLE_SQL = {
@@ -945,6 +1015,29 @@ ORACLE_SQL = {
             SELECT p.u, reach.r FROM pairs p JOIN reach ON p.v = reach.node
         )
         SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node
+    """,
+    "sample_split": """
+        SELECT doc_id, lang,
+               CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8 THEN 'train'
+                    WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "top_terms": """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), dist AS (
+          SELECT DISTINCT lang, doc_id, token FROM toks WHERE token <> ''
+        ), dfreq AS (
+          SELECT lang, token, count(*) AS df FROM dist GROUP BY lang, token
+        )
+        SELECT lang, token, df FROM (
+          SELECT lang, token, df,
+                 row_number() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn
+          FROM dfreq
+        ) WHERE rn <= 5
     """,
 }
 
