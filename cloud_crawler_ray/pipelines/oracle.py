@@ -151,6 +151,11 @@ def run_oracle(
             # deterministic per-request UA (UserAgentGenerator analog) — the
             # engine records the identical column in its order fragments
             "ua": pa.array(user_agents(np.array([t[2] for t in ordered], np.uint64)), pa.string()),
+            # deterministic proxy rotation (least-used-resource analog)
+            "proxy_id": pa.array(
+                [int(sw.proxy_for(np.array([t[2]], np.uint64), t[0], cfg)[0]) for t in ordered],
+                pa.int32(),
+            ),
         }
     )
     rl = sorted(rows.values(), key=lambda r: r["url_hash"])

@@ -54,6 +54,7 @@ class WebConfig:
     max_attempts: int = 3
     circuit_break_after: int = 3
     robots_modulus: int = 13  # pages with page_id % modulus == r(host) are disallowed
+    n_proxies: int = 4  # proxy/Tor identity pool size (resource-rotation analog)
     hot_hosts: tuple = ()  # hosts given pages_per_host * 8 pages (skew testing)
     seeds_per_host: int = 1  # seed pages 0..N-1 of each seed host
     img_min: int = 16  # image side lengths drawn from [img_min, img_max]
@@ -144,6 +145,18 @@ def host_politeness(host: str, cfg: WebConfig) -> tuple[int, int, int]:
     radius = max(1, center // 4)
     capacity = 1 + h % 3
     return int(center), int(radius), int(capacity)
+
+
+def proxy_for(url_hash: np.ndarray, wave: int, cfg: WebConfig) -> np.ndarray:
+    """Proxy identity per request — the deterministic analog of the
+    reference's least-used resource rotation (TorResourceController /
+    ProxyResourceController pick a slot per request). Randomized rotation
+    breaks replay, so the slot is a PRF of (url_hash, wave): usage spreads
+    uniformly over the pool AND a retried URL rotates identity across waves
+    (the NEWNYM-after-ban behavior), while staying a pure function of data.
+    """
+    h = splitmix64(_mix(url_hash, 5, cfg.seed) ^ _U64(wave))
+    return (h % _U64(max(1, cfg.n_proxies))).astype(np.int32)
 
 
 def robots_disallowed(host: str, page_ids: np.ndarray, cfg: WebConfig) -> np.ndarray:

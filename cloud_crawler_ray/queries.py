@@ -1220,6 +1220,27 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(lambda t: t.drop_columns(["thumbnail"]), **_PA)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio decode/feature plumbing (stub codec): duration + RMS per clip —
+    the actor-pool binary-column stage for audio (rows-only; determinism is
+    the check, codec gated behind import-try in stages/multimodal.py)."""
+    from .stages.multimodal import AudioFeatureStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def as_audio(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "audio_id": pc.binary_join_element_wise(
+                    pa.array(["aud"] * t.num_rows, pa.string()), pc.cast(t["doc_id"], pa.string()), ""
+                ),
+                "bytes": pc.cast(t["text"], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(as_audio, **_PA).map_batches(AudioFeatureStage, batch_size=64, concurrency=2, **_PA)
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plumbing (stub codec): one row per sampled frame."""
     from .stages.multimodal import FrameSampleStage
@@ -1303,6 +1324,7 @@ QUERIES.update(
         "distinct_count": q_distinct_count,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "crawl_order": q_crawl_order,
         "crawl_seen_set": q_crawl_seen_set,

@@ -87,6 +87,7 @@ ORDER_SCHEMA = pa.schema(
         ("url_hash", pa.uint64()),
         ("host", pa.string()),
         ("ua", pa.string()),
+        ("proxy_id", pa.int32()),
         ("partition_id", pa.int32()),
     ]
 )
@@ -192,6 +193,7 @@ def commit_status_files(
     wave: int,
     order_path: str,
     compact_files: int,
+    cfg: sw.WebConfig,
 ) -> tuple[str, str, str, int]:
     """Write one partition's wave-status commit: the ``del*`` file (or, when
     the file list is long, the folded+consolidated ``v*`` main — amortized
@@ -231,6 +233,9 @@ def commit_status_files(
                 "url_hash": forder["url_hash"],
                 "host": forder["host"],
                 "ua": pa.array(user_agents(forder["url_hash"].to_numpy()), pa.string()),
+                # deterministic proxy rotation per (request, wave) — the
+                # least-used-resource analog (TorResourceController slots)
+                "proxy_id": pa.array(sw.proxy_for(forder["url_hash"].to_numpy(), wave, cfg), pa.int32()),
                 "partition_id": forder["partition_id"],
             }
         ).cast(ORDER_SCHEMA)
@@ -329,7 +334,7 @@ class ClaimStage:
                 # candidates cross the wave's one shuffle, as in r1)
                 store = FrontierStore(self.frontier_path, self.P)
                 src, rel, order_rel, n_order = commit_status_files(
-                    store, pid, list(paths), rows, self.wave, self.order_path, self.compact_files
+                    store, pid, list(paths), rows, self.wave, self.order_path, self.compact_files, self.cfg
                 )
                 out.append(_marker_row(pid, src, rel, order_rel, n_order, rows.num_rows))
         return pa.concat_tables(out) if out else _empty_fetch_out()
@@ -799,7 +804,9 @@ class CommitPartition:
         shards: list,
         order_path: str,
         compact_files: int = 8,
+        cfg: sw.WebConfig | None = None,
     ):
+        self.cfg = cfg if cfg is not None else sw.WebConfig()
         self.frontier_path = frontier_path
         self.P = num_partitions
         self.wave = wave
@@ -824,7 +831,7 @@ class CommitPartition:
 
     def _commit_status(self, pid: int, paths: list[str], store: FrontierStore, rows: pa.Table) -> pa.Table:
         src, rel, order_rel, n_order = commit_status_files(
-            store, pid, paths, rows, self.wave, self.order_path, self.compact_files
+            store, pid, paths, rows, self.wave, self.order_path, self.compact_files, self.cfg
         )
         return result_row(src, pid, rel=rel, rel2=order_rel, n1=n_order, n2=rows.num_rows)
 

@@ -55,8 +55,10 @@ class TestConformance:
         eo = engine_result.crawl_order()
         oo = oracle_result.order
         assert eo.num_rows == oo.num_rows
-        for col in ["fetch_seq", "wave", "vtime", "url_hash", "host"]:
+        for col in ["fetch_seq", "wave", "vtime", "url_hash", "host", "proxy_id"]:
             assert np.array_equal(eo[col].to_numpy(zero_copy_only=False), oo[col].to_numpy(zero_copy_only=False)), col
+        assert eo["ua"].to_pylist() == oo["ua"].to_pylist()  # UA threaded identically
+        assert len(set(eo["proxy_id"].to_pylist())) > 1  # rotation actually spreads
 
     def test_all_outcome_classes_exercised(self, oracle_result):
         statuses = set(oracle_result.frontier["status"].to_pylist())
