@@ -377,6 +377,34 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_asof_prev_event(sf_dir: str):
+    """Backward as-of self-join: each event matched to the same user's most
+    recent strictly-earlier event (id + gap in µs) — the as-of pattern Ray
+    Data lacks natively, expressed as key-bucketed groups + one vectorized
+    ordered pass per bucket (no per-key Python dispatch, no global sort).
+    Events with no predecessor are omitted (keeps the result null-free)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(t["user_id"].to_numpy() % 64, pa.int32()))
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev_id = g.groupby("user_id", sort=False)["event_id"].shift(1)
+        prev_ts = g.groupby("user_id", sort=False)["ts"].shift(1)
+        keep = prev_id.notna()
+        gap = (g["ts"][keep] - prev_ts[keep]).dt.total_seconds() * 1e6
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"][keep].to_numpy(),
+                "prev_event_id": prev_id[keep].astype(np.int64).to_numpy(),
+                "gap_us": np.round(gap.to_numpy()).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
 def q_running_sum(sf_dir: str):
     """Per-order running quantity — ordered windowed fold (window-function analog).
 
@@ -415,6 +443,19 @@ def q_token_count(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "n_tokens": T.ws_token_count_arrow(t["text"])})
+
+    return ds.map_batches(f, **_PA)
+
+
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / single
+    punctuation — the LLM-token-estimate staple), vectorized via
+    count_substring_regex."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
 
     return ds.map_batches(f, **_PA)
 
@@ -862,8 +903,10 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "windowed_agg": q_windowed_agg,
     "sessionize": q_sessionize,
+    "asof_prev_event": q_asof_prev_event,
     "running_sum": q_running_sum,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -960,6 +1003,15 @@ ORACLE_SQL = {
                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         FROM sess GROUP BY user_id, session_id
     """,
+    "asof_prev_event": """
+        SELECT event_id, prev_event_id, gap_us FROM (
+            SELECT event_id,
+                   lag(event_id) OVER w AS prev_event_id,
+                   datediff('microsecond', lag(ts) OVER w, ts) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE prev_event_id IS NOT NULL
+    """,
     "running_sum": """
         SELECT l_orderkey, l_linenumber,
                sum(CAST(round(l_quantity * 100) AS BIGINT))
@@ -972,6 +1024,11 @@ ORACLE_SQL = {
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0
                     ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
     "text_quality": """
