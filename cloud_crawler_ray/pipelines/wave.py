@@ -377,7 +377,8 @@ class CrawlEngine:
             commit_input = fetched.map_batches(_as_commit_status, **_PA).union(cand_rows)
         commit = commit_input.groupby("partition_id").map_groups(
             CommitPartition(
-                self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files
+                self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files,
+                cfg=cfg,
             ),
             batch_format="pyarrow",
         )

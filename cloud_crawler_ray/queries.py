@@ -80,6 +80,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pool() -> tuple[int, int]:
+    """Actor-pool sizing for stateful map_batches stages: autoscale from 1
+    up to (CPUs - 2) actors — hard caps of 2-4 actors starved 32-cpu runs
+    while tiny runs still spawn only what they need."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(4, ncpu - 2))
+
+
 def _row_count(sf_dir: str, table: str) -> int:
     """Row count from parquet metadata (no data read) — used to size
     group-bucket counts so per-group work stays bounded as data grows
@@ -189,7 +197,7 @@ def q_anti_join_new_urls(sf_dir: str):
             return t.filter(pa.array(mask))
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(AntiJoin, concurrency=2, **_PA)
+    return ds.map_batches(AntiJoin, concurrency=_pool(), **_PA)
 
 
 def q_broadcast_config_join(sf_dir: str):
@@ -218,7 +226,7 @@ def q_broadcast_config_join(sf_dir: str):
             )
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    partials = li.map_batches(JoinAgg, concurrency=2, **_PA)
+    partials = li.map_batches(JoinAgg, concurrency=_pool(), **_PA)
     agg = partials.groupby("p_brand").aggregate(
         Sum("partial_rev4", alias_name="rev4"), Sum("partial_n", alias_name="n")
     )
@@ -485,7 +493,7 @@ def q_lang_id(sf_dir: str):
         def __call__(self, t: pa.Table) -> pa.Table:
             return pa.table({"doc_id": t["doc_id"], "lang_pred": T.lang_id(t["text"].to_pylist())})
 
-    return ds.map_batches(LangId, concurrency=2, **_PA)
+    return ds.map_batches(LangId, concurrency=_pool(), **_PA)
 
 
 def q_fingerprint(sf_dir: str):
@@ -547,7 +555,7 @@ def q_minhash_lsh_pairs(sf_dir: str):
     Non-SQL (rows-only); exactness of the LSH machinery is unit-tested.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_MinHashStage, concurrency=(1, 4), **_PA)
+    bands = ds.map_batches(_MinHashStage, concurrency=_pool(), **_PA)
     # most (band_id, band_key) buckets are singletons: grouping by a coarse
     # bucket and pairing vectorized inside beats one map_groups dispatch per
     # LSH bucket (~one per doc×band); bucket count scales with the corpus so
@@ -722,7 +730,7 @@ def q_embedding_topk(sf_dir: str):
             return out.take(order[: k + 1])
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    scored = ds.map_batches(Score, concurrency=2, **_PA)
+    scored = ds.map_batches(Score, concurrency=_pool(), **_PA)
     scored = scored.map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), **_PA)
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
@@ -1230,7 +1238,7 @@ def q_embedding_topk_ivf(sf_dir: str):
                              "cos_sim": pa.array(np.round(sims, 6), pa.float64())})
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ds.map_batches(Probe, concurrency=2, **_PA).sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return ds.map_batches(Probe, concurrency=_pool(), **_PA).sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
 # --------------------------------------------------------------------------
@@ -1272,7 +1280,7 @@ def q_image_features(sf_dir: str):
     from .stages.multimodal import ImageFeatureStage
 
     feats = _synthetic_images(sf_dir).map_batches(
-        ImageFeatureStage, batch_size=64, concurrency=2, **_PA
+        ImageFeatureStage, batch_size=64, concurrency=_pool(), **_PA
     )
     return feats.map_batches(lambda t: t.drop_columns(["thumbnail"]), **_PA)
 
@@ -1295,7 +1303,7 @@ def q_audio_features(sf_dir: str):
             }
         )
 
-    return ds.map_batches(as_audio, **_PA).map_batches(AudioFeatureStage, batch_size=64, concurrency=2, **_PA)
+    return ds.map_batches(as_audio, **_PA).map_batches(AudioFeatureStage, batch_size=64, concurrency=_pool(), **_PA)
 
 
 def q_frame_sample(sf_dir: str):
@@ -1314,7 +1322,7 @@ def q_frame_sample(sf_dir: str):
             }
         )
 
-    frames = ds.map_batches(as_video, **_PA).map_batches(FrameSampleStage, batch_size=64, concurrency=2, **_PA)
+    frames = ds.map_batches(as_video, **_PA).map_batches(FrameSampleStage, batch_size=64, concurrency=_pool(), **_PA)
     return frames.map_batches(
         lambda t: pa.table({"video_id": t["video_id"], "frame_index": t["frame_index"],
                             "frame_bytes": pa.array([len(b) for b in t["frame"].to_pylist()], pa.int64())}),

@@ -16,7 +16,9 @@ import pytest
 from cloud_crawler_ray.pipelines import semantics as sem, synthweb as sw
 from cloud_crawler_ray.pipelines.api import build_pipeline
 
-CFG = sw.WebConfig(n_hosts=8, pages_per_host=60, n_seed_hosts=5, max_links=4)
+# non-default seed + proxy pool so io-vs-light identity catches any stage
+# falling back to a default WebConfig (e.g. for proxy rotation)
+CFG = sw.WebConfig(n_hosts=8, pages_per_host=60, n_seed_hosts=5, max_links=4, seed=7, n_proxies=3)
 P, S, K, WAVES = 4, 2, 20, 3
 
 
