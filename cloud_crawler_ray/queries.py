@@ -81,11 +81,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 
 def _pool() -> tuple[int, int]:
-    """Actor-pool sizing for stateful map_batches stages: autoscale from 1
-    up to (CPUs - 2) actors — hard caps of 2-4 actors starved 32-cpu runs
-    while tiny runs still spawn only what they need."""
+    """Actor-pool sizing for stateful map_batches stages: a few actors,
+    scaled mildly with session CPUs. Short queries are dominated by actor
+    spawn latency, so a wide autoscaling pool (tried: 1..CPUs-2) is SLOWER
+    than a small warm one; per-batch work inside each actor is already
+    vectorized, so a handful of actors saturates the stage."""
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(4, ncpu - 2))
+    return (2, min(8, max(2, ncpu // 4)))
 
 
 def _row_count(sf_dir: str, table: str) -> int:
