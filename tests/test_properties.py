@@ -74,3 +74,39 @@ class TestSeenSetProperties:
                 assert bool(new[j]) == expected
                 ref.add(k)
         assert len(s) == len(ref)
+
+
+class TestPrefixFilterExactness:
+    """The AllPairs/PPJoin prefix principle behind q_ngram_jaccard_dedup:
+    any pair with Jaccard >= t MUST share a hash within both docs' prefixes
+    (length |X| - ceil(t*|X|) + 1 over the ascending hash order) — the
+    deterministic no-false-negative guarantee the SQL oracle relies on."""
+
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=1, max_value=60), min_size=0, max_size=25),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_threshold_pairs_always_share_a_prefix_hash(self, docs):
+        import numpy as np
+
+        from cloud_crawler_ray.functions.text import jaccard
+
+        t = 0.5
+        sets = [np.unique(np.array(d, np.uint64)) for d in docs]
+
+        def prefix(s):
+            if len(s) == 0:
+                return {0}
+            p = len(s) - int(np.ceil(t * len(s))) + 1
+            return set(np.sort(s)[:p].tolist())
+
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                if jaccard(sets[i], sets[j]) >= t:
+                    assert prefix(sets[i]) & prefix(sets[j]), (
+                        f"prefix filter missed a true pair: {sets[i]} vs {sets[j]}"
+                    )
