@@ -29,8 +29,12 @@ fetcher(url, url_hash, attempt, try_idx, ua) -> (kind, body)
 parser(url, url_hash, body) -> (links, record)
     links: raw hrefs for frontier expansion; record: anything picklable to
     hand to save_parsed (or None). Raising → status PARSE_FAILED
-    (ParsingException → taskParsingFailed). In light mode the parser is
-    invoked with body=None and must derive output from (url, url_hash).
+    (ParsingException → taskParsingFailed) on BOTH paths: a custom parser
+    in light mode runs at fetch time inside the claim task (receiving the
+    light fetcher's body, which is not retained afterwards), so the
+    PARSE_FAILED status lands in the same wave's delta exactly as on the
+    io path. Only the built-in synthetic parser defers link generation to
+    uniform downstream batches.
 validator(table: pa.Table) -> bool mask (True = crawl)
     Batch predicate over the claimed rows (columns url, url_hash, host,
     depth, attempt, ...). Rejected rows are marked SKIPPED without fetching
@@ -46,6 +50,13 @@ save_parsed(table: pa.Table) -> pa.Table
 save_raw(table: pa.Table) -> pa.Table
     Same, for raw fetch bodies (root/raw; SaveRawProvider analog). Requires
     a non-light fetcher (bodies are only retained on the io path).
+notifier(table: pa.Table) -> None
+    Per-failure notification hook (BaseNotification.scala:3-5, fired from
+    TasksBatchController.scala:147-153): invoked once per batch of
+    PARSE_FAILED rows each wave (columns url, url_hash, host, status,
+    attempt), inside a Ray task. A user observes individual parse failures
+    without scanning frontier statuses. Failures in the notifier itself
+    never fail the wave (reference parity: notifications are best-effort).
 """
 
 from __future__ import annotations
@@ -66,6 +77,7 @@ class CrawlPipeline:
     save_parsed: Callable | None = None
     save_raw: Callable | None = None
     validator: Callable | None = None
+    notifier: Callable | None = None
 
     def __post_init__(self):
         # PipelineBuilder.scala:56-68 validation parity
@@ -80,6 +92,16 @@ class CrawlPipeline:
     def light(self) -> bool:
         """True → claim-task state machine + uniform downstream parse/decode."""
         return bool(getattr(self.fetcher, "light", False))
+
+    @property
+    def user_parser(self) -> bool:
+        """True → a custom (non-synthetic) parser. In light mode such a
+        parser runs at fetch time inside the claim task (with the fetcher's
+        body), so a raising parser routes its row to PARSE_FAILED *before*
+        the status delta is committed — the same ParsingException →
+        taskParsingFailed contract as the io path
+        (TasksBatchController.scala:152-158)."""
+        return self.parser is not None and not isinstance(self.parser, sw.SyntheticWebParser)
 
 
 def synthetic_pipeline(cfg: sw.WebConfig) -> CrawlPipeline:

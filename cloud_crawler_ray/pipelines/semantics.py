@@ -151,6 +151,33 @@ def fetch_host_wave(
         def try_fetch(i: int, try_idx: int):
             return fetcher(url[i], int(url_hash[i]), int(attempt[i]), try_idx, uas[i])
 
+        if cfg.fetch_timeout_sec is not None:
+            # straggler kill for a HUNG custom fetcher: the call runs in a
+            # daemon thread; expiry is routed as io_error so the existing
+            # in-wave retry / attempt-cap machinery applies (the per-call
+            # half of WorkerManager.scala:85-96's batchExecutionTimeout)
+            import threading
+
+            inner_fetch = try_fetch
+
+            def try_fetch(i: int, try_idx: int):
+                out: dict = {}
+
+                def run():
+                    try:
+                        out["r"] = inner_fetch(i, try_idx)
+                    except Exception as e:  # propagate user errors unchanged
+                        out["e"] = e
+
+                th = threading.Thread(target=run, daemon=True)
+                th.start()
+                th.join(cfg.fetch_timeout_sec)
+                if th.is_alive():
+                    return "io_error", None  # hung call abandoned (daemon thread)
+                if "e" in out:
+                    raise out["e"]
+                return out["r"]
+
     if parser is not None:
 
         def parse_row(i: int, body):
@@ -167,8 +194,18 @@ def fetch_host_wave(
     frozen = False  # ban freeze (slot ban analog)
     tripped = False  # circuit breaker (NoResourcesAvailable analog)
     consec_io = 0
+    budget = cfg.batch_timeout_sec
+    if budget is not None:
+        import time as _time
+
+        t_start = _time.monotonic()
 
     for i in range(n):  # host rows are politeness-serialized by design
+        if budget is not None and _time.monotonic() - t_start >= budget:
+            # wall-clock budget expired: remaining rows return to the queue
+            # untouched (forcedStop → returnToQueue,
+            # WorkerManager.scala:85-96 + TasksBatchController.scala:183-198)
+            break
         if frozen or tripped:
             continue  # stays WAIT, attempt unchanged
         if disallowed[i]:

@@ -55,6 +55,12 @@ class WebConfig:
     circuit_break_after: int = 3
     robots_modulus: int = 13  # pages with page_id % modulus == r(host) are disallowed
     n_proxies: int = 4  # proxy/Tor identity pool size (resource-rotation analog)
+    # straggler control (worker.conf:15-16 batchExecutionTimeout = 1 h;
+    # WorkerManager.scala:85-96 kills the batch controller and returns
+    # incomplete tasks to the queue). None → no wall-clock limits (the
+    # deterministic default: conformance/oracle runs never set these).
+    batch_timeout_sec: float | None = None  # per host-group wall budget; expiry → rows stay WAIT
+    fetch_timeout_sec: float | None = None  # per fetcher call (custom fetchers); expiry → io_error
     hot_hosts: tuple = ()  # hosts given pages_per_host * 8 pages (skew testing)
     seeds_per_host: int = 1  # seed pages 0..N-1 of each seed host
     img_min: int = 16  # image side lengths drawn from [img_min, img_max]

@@ -190,7 +190,7 @@ class CrawlEngine:
         raw = dict(c["cfg"])
         raw["hot_hosts"] = tuple(raw.get("hot_hosts", ()))
         cfg = sw.WebConfig(**raw)
-        return cls(
+        eng = cls(
             root,
             cfg,
             num_partitions=c["num_partitions"],
@@ -201,6 +201,14 @@ class CrawlEngine:
             compact_files=c.get("compact_files", 8),
             pipeline=pipeline,
         )
+        stored = c.get("task_type")
+        if stored is not None and eng.pipeline.task_type != stored:
+            raise ValueError(
+                f"resume pipeline mismatch: job at {root!r} was started with task_type "
+                f"{stored!r} but resume() was given {eng.pipeline.task_type!r} — a resumed "
+                "job must use the same pipeline it started with (hooks are code, not state)"
+            )
+        return eng
 
     def _seed_table(self) -> pa.Table:
         cfg = self.cfg
@@ -321,10 +329,10 @@ class CrawlEngine:
 
         branches = []
         if pl.save_parsed is not None:
+            # light user pipelines now collect records at fetch time inside
+            # the claim task (ADVICE r2 routing), so DONE rows already carry
+            # their record column on every path
             parsed_in = done
-            if pl.light and pl.parser is not None and not isinstance(pl.parser, sw.SyntheticWebParser):
-                # light user pipeline: records must be regenerated per row
-                parsed_in = done.map_batches(AttachParse(pl, want_records=True), **_PA)
             branches.append(
                 parsed_in.map_batches(
                     SaveParsedBatch(pl.save_parsed, self.images.path, wave, src="parsed"),
@@ -341,9 +349,18 @@ class CrawlEngine:
                     **_PA,
                 )
             )
+        if pl.notifier is not None:
+            from ..stages.crawl import NotifyBatch
+
+            pf_rows = fetched.map_batches(
+                lambda t: t.filter(pc.equal(t["status"], sem.PARSE_FAILED)), **_PA
+            )
+            branches.append(pf_rows.map_batches(NotifyBatch(pl.notifier, wave), **_PA))
 
         cand_src = done
-        if pl.light:
+        if pl.light and pl.parser is not None and not pl.user_parser:
+            # synthetic parser: defer link generation to uniform batches
+            # (custom light parsers already attached links at fetch time)
             cand_src = done.map_batches(AttachParse(pl), **_PA)
         cand_rows = (
             cand_src.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)

@@ -783,15 +783,19 @@ def q_embedding_neardup(sf_dir: str):
 def q_sample_split(sf_dir: str):
     """Deterministic train/val/test split — the dataset-curation staple.
 
-    Split key = Knuth multiplicative hash of doc_id (fits int64, so the
-    DuckDB oracle reproduces it exactly); 80/10/10 by key range. Pure
+    Split key = Knuth multiplicative hash of doc_id masked to 32 bits
+    before the multiply, so the uint64 product never wraps (max
+    (2^32-1)·2654435761 < 2^64) and the DuckDB oracle's UBIGINT arithmetic
+    reproduces it exactly for ANY doc_id — including ids ≥ 2^32 that would
+    overflow an int64 multiply (ADVICE r2). 80/10/10 by key range. Pure
     map_batches — embarrassingly parallel, no shuffle, stable across runs
     and cluster sizes.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
     def split(t: pa.Table) -> pa.Table:
-        key = (t["doc_id"].to_numpy().astype(np.int64) * 2654435761) % 4294967296
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
         frac = key / 4294967296.0
         s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
         return pa.table(
@@ -1084,11 +1088,17 @@ ORACLE_SQL = {
         SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node
     """,
     "sample_split": """
+        WITH keyed AS (
+            SELECT doc_id, lang,
+                   ((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                    % 4294967296) / 4294967296.0 AS frac
+            FROM documents
+        )
         SELECT doc_id, lang,
-               CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8 THEN 'train'
-                    WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9 THEN 'val'
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val'
                     ELSE 'test' END AS split
-        FROM documents
+        FROM keyed
     """,
     "top_terms": """
         WITH toks AS (

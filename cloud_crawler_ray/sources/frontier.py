@@ -80,6 +80,24 @@ def base_paths(paths: list[str]) -> list[str]:
     return [p for p in paths if not is_delta(p)]
 
 
+def scatter_positions(order: np.ndarray, sorted_uh: np.ndarray, delta_uh: np.ndarray, ctx: str) -> np.ndarray:
+    """Positions (in original row order) of ``delta_uh`` within the base rows
+    whose sorted url_hash view is ``sorted_uh`` (with ``order`` the argsort).
+
+    Membership is verified: a delta key absent from the base rows is an
+    invariant violation (compaction bug, hand-edited manifest, partial file
+    loss) and must fail loudly instead of silently corrupting whichever row
+    sits at the insertion point."""
+    ins = np.searchsorted(sorted_uh, delta_uh)
+    bad = (ins >= len(sorted_uh)) | (sorted_uh[np.minimum(ins, max(len(sorted_uh) - 1, 0))] != delta_uh)
+    if bad.any():
+        raise ValueError(
+            f"frontier corruption in {ctx}: {int(bad.sum())}/{len(delta_uh)} delta url_hash "
+            "values are absent from the partition's base rows"
+        )
+    return order[ins]
+
+
 def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=None) -> pa.Table:
     """Current partition state from its manifest file list.
 
@@ -105,7 +123,7 @@ def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=No
     attempt = t["attempt"].to_numpy().copy()
     for dp in deltas:
         d = pq.read_table(dp, filesystem=filesystem)
-        pos = order[np.searchsorted(sorted_uh, d["url_hash"].to_numpy().astype(np.uint64))]
+        pos = scatter_positions(order, sorted_uh, d["url_hash"].to_numpy().astype(np.uint64), dp)
         status[pos] = d["status"].to_numpy()
         attempt[pos] = d["attempt"].to_numpy()
     t = t.set_column(t.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))

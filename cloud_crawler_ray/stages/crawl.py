@@ -211,7 +211,9 @@ def commit_status_files(
         full = fsrc.fold_paths(paths, filesystem=store.fs)
         uh_all = full["url_hash"].to_numpy().astype(np.uint64)
         order = np.argsort(uh_all, kind="stable")
-        pos = order[np.searchsorted(uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64))]
+        pos = fsrc.scatter_positions(
+            order, uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64), f"compact p{pid}"
+        )
         status = full["status"].to_numpy().copy()
         attempt = full["attempt"].to_numpy().copy()
         status[pos] = delta["status"].to_numpy()
@@ -365,41 +367,62 @@ class ClaimStage:
 
     def _fetch_light(self, pid: int, kept: pa.Table) -> pa.Table:
         cfg, wave, pl = self.cfg, self.wave, self.pipeline
-        g = kept.to_pandas()
+        # custom parsers run HERE, at fetch time: a raise routes the row to
+        # PARSE_FAILED before the status delta is committed (ADVICE r2) —
+        # only the built-in synthetic parser defers links to AttachParse
+        user_parse = pl.user_parser
+        collect_records = user_parse and pl.save_parsed is not None
+        # one Arrow sort replaces the pandas groupby round-trip: host runs
+        # are contiguous, each already in rule-(b) order
+        kept = kept.take(
+            pc.sort_indices(
+                kept,
+                sort_keys=[
+                    ("host", "ascending"),
+                    ("discovered_at", "ascending"),
+                    ("priority", "ascending"),
+                    ("url_hash", "ascending"),
+                ],
+            )
+        )
+        hosts = np.asarray(kept["host"].to_pylist(), dtype=object)
+        change = np.flatnonzero(hosts[1:] != hosts[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(hosts)]])
         parts: list[pa.Table] = []
-        for host, hrows in g.groupby("host", sort=True):
-            # rule (b): per-host order (discovered_at, priority, url_hash)
-            hrows = hrows.sort_values(["discovered_at", "priority", "url_hash"], kind="stable")
-            uh = hrows["url_hash"].to_numpy().astype(np.uint64)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            sub = kept.slice(int(b0), int(b1 - b0))
+            n = sub.num_rows
+            uh = sub["url_hash"].to_numpy().astype(np.uint64)
             res = sem.fetch_host_wave(
-                str(host),
+                str(hosts[b0]),
                 wave,
-                hrows["url"].tolist(),
+                sub["url"].to_pylist(),
                 uh,
-                hrows["attempt"].to_numpy(),
+                sub["attempt"].to_numpy(),
                 cfg,
                 fetcher=pl.fetcher,
                 parser=pl.parser,
-                collect_links=False,
+                collect_links=user_parse,
+                collect_records=collect_records,
             )
-            n = len(hrows)
+            recs = [_record_str(r) for r in res.records] if res.records is not None else [None] * n
             parts.append(
                 pa.table(
                     {
-                        "url": pa.array(hrows["url"].tolist(), pa.string()),
-                        "url_hash": pa.array(uh, pa.uint64()),
-                        "host": pa.array([str(host)] * n, pa.string()),
-                        "depth": pa.array(hrows["depth"].to_numpy(), pa.int32()),
-                        "priority": pa.array(hrows["priority"].to_numpy(), pa.float32()),
-                        "discovered_at": pa.array(hrows["discovered_at"].to_numpy(), pa.int32()),
+                        "url": sub["url"],
+                        "url_hash": sub["url_hash"],
+                        "host": sub["host"],
+                        "depth": sub["depth"],
+                        "priority": sub["priority"],
+                        "discovered_at": sub["discovered_at"],
                         "partition_id": pa.array(np.full(n, pid, np.int32), pa.int32()),
                         "status": pa.array(res.status, pa.int8()),
                         "attempt": pa.array(res.attempt, pa.int32()),
                         "vtime": pa.array(res.vtime, pa.int64()),
                         "fetched": pa.array(res.fetched, pa.bool_()),
                         "fetch_group": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                        "links": pa.array([None] * n, pa.list_(pa.string())),
-                        "record": pa.array([None] * n, pa.string()),
+                        "links": pa.array(res.links if user_parse else [None] * n, pa.list_(pa.string())),
+                        "record": pa.array(recs, pa.string()),
                         "body": pa.array([None] * n, pa.binary()),
                     }
                 ).cast(FETCH_OUT_SCHEMA)
@@ -480,27 +503,30 @@ class FetchHostGroup:
 
 
 class AttachParse:
-    """Uniform per-batch parse for light pipelines' DONE rows: links
-    (+records) from (url, url_hash) with body=None. Ray's even batching is
-    the hot-domain salting for this per-row work — a hot host's pages are
-    spread over ceil(done/batch_size) tasks regardless of partition."""
+    """Uniform per-batch link generation for the built-in synthetic parser's
+    DONE rows (links from (url, url_hash), body=None). Ray's even batching
+    is the hot-domain salting for this per-row work — a hot host's pages
+    are spread over ceil(done/batch_size) tasks regardless of partition.
 
-    def __init__(self, pipeline, want_records: bool = False):
+    Custom parsers never reach this stage: they run at fetch time inside
+    the claim task so a raise becomes PARSE_FAILED before the status delta
+    is committed (ADVICE r2). The try/except here is defensive only — a
+    raise after the DONE commit can no longer flip the status, so the row
+    keeps DONE with no out-links."""
+
+    def __init__(self, pipeline):
         self.parser = pipeline.parser
-        self.want_records = want_records
         self.__name__ = "AttachParse"
 
     def __call__(self, t: pa.Table) -> pa.Table:
         links: list[list[str]] = []
-        recs: list[str | None] = []
         for u, h in zip(t["url"].to_pylist(), t["url_hash"].to_numpy()):
-            lk, rec = self.parser(u, int(h), None)
+            try:
+                lk, _ = self.parser(u, int(h), None)
+            except Exception:
+                lk = []
             links.append(lk if lk is not None else [])
-            recs.append(_record_str(rec) if self.want_records else None)
-        t = t.set_column(t.schema.get_field_index("links"), "links", pa.array(links, pa.list_(pa.string())))
-        if self.want_records:
-            t = t.set_column(t.schema.get_field_index("record"), "record", pa.array(recs, pa.string()))
-        return t
+        return t.set_column(t.schema.get_field_index("links"), "links", pa.array(links, pa.list_(pa.string())))
 
 
 class DecodeStage:
@@ -574,6 +600,30 @@ class SaveParsedBatch:
         name = f"w{self.wave:05d}-h{int(g['url_hash'].to_numpy().min()):016x}"
         rel = LanceLikeTable(self.table_path).write_fragment(t, name=name)
         return result_row(self.src, -1, rel=rel, n1=t.num_rows)
+
+
+class NotifyBatch:
+    """Per-failure notification stage (BaseNotification.scala:3-5 analog;
+    fired from TasksBatchController.scala:147-153 on taskParsingFailed).
+
+    Invokes the pipeline's ``notifier`` hook once per batch of PARSE_FAILED
+    rows. Best-effort: a raising notifier is swallowed (the reference sends
+    notifications fire-and-forget off the batch-controller path) — the wave
+    outcome never depends on it."""
+
+    def __init__(self, notifier, wave: int):
+        self.notifier = notifier
+        self.wave = wave
+        self.__name__ = f"NotifyBatch(w{wave})"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_result()
+        try:
+            self.notifier(t.select(["url", "url_hash", "host", "status", "attempt"]))
+        except Exception:
+            pass
+        return result_row("notify", -1, n1=t.num_rows)
 
 
 def extract_candidates(t: pa.Table, cfg: sw.WebConfig, num_partitions: int) -> pa.Table:
