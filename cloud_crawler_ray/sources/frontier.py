@@ -66,6 +66,263 @@ DELTA_SCHEMA = pa.schema(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# Partition sidecars (round 3; VERDICT r2 #1/#2/#3)
+#
+# Two per-partition index files bound the engine's steady-state reads:
+#
+#   wait{N}.parquet — the WAIT backlog as of status commit N: (row_idx,
+#     url_hash, priority, attempt) of every claimable row. The claim stage
+#     reads THIS instead of folding the partition's light columns, so claim
+#     cost is O(WAIT backlog + files appended since N), not O(frontier/P).
+#     Maintained incrementally: each status commit applies its O(wave) delta
+#     to the previous sidecar (MongoQueueTaskProvider.scala:33-48's
+#     status-filtered scan is what this file is the index of).
+#
+#   keys{N}.parquet — ALL committed url_hash values sorted, with their global
+#     row_idx. Written only at initialize/compaction (when the full table is
+#     in memory anyway); between compactions the newer ins*/push* files are
+#     each O(wave). Insert/push anti-join confirms and hash→row lookups probe
+#     it via parquet row-group zone maps (sorted file → only groups whose
+#     [min,max] straddles a candidate are read), so a confirm reads
+#     O(candidates) row groups instead of the partition's whole hash column.
+#
+# Sidecars are NOT in the wave manifest: names are deterministic in the
+# commit index N (derivable from the manifest's del*/v* names), each file
+# records which base files it covers in its parquet metadata, and a crashed
+# wave's sidecar is deterministically rewritten on the idempotent re-run —
+# a claim for wave W only ever reads sidecars with N ≤ W.
+#
+# row_idx is the global row index over base_paths(paths) in manifest list
+# order — the same addressing take_rows uses — valid because the base list
+# is append-only between compactions and sidecars are rewritten at
+# compaction.
+# ---------------------------------------------------------------------------
+
+WAIT_SCHEMA = pa.schema(
+    [
+        ("row_idx", pa.int64()),
+        ("url_hash", pa.uint64()),
+        ("priority", pa.float32()),
+        ("attempt", pa.int32()),
+    ]
+)
+
+KEYS_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.uint64()),
+        ("row_idx", pa.int64()),
+    ]
+)
+
+_KEYS_ROW_GROUP = 16_384  # small groups → effective zone-map pruning
+_SIDECAR_META = b"sidecar"
+
+
+def _name(path: str) -> str:
+    return path.rsplit("/", 1)[-1]
+
+
+def _commit_idx(name: str) -> int | None:
+    """The status-commit index a del*/v* file name encodes (None otherwise)."""
+    stem = name[: -len(".parquet")] if name.endswith(".parquet") else name
+    for prefix in ("del", "v"):
+        if stem.startswith(prefix):
+            try:
+                return int(stem[len(prefix):])
+            except ValueError:
+                return None
+    return None
+
+
+def latest_sidecar_idx(paths: list[str]) -> int:
+    """Index of the newest sidecar the manifest's file list implies: every
+    status commit N leaves a del{N} (or, on compaction, v{N}) in the list
+    and wrote wait{N} alongside; initialize wrote wait00000/keys00000."""
+    best = 0
+    for p in paths:
+        i = _commit_idx(_name(p))
+        if i is not None and i > best:
+            best = i
+    return best
+
+
+def latest_keys_idx(paths: list[str]) -> int:
+    """keys* sidecars are only written at initialize (0) and compaction (the
+    v{N} rewrite), so the newest is keyed by the newest non-seed v* file."""
+    best = 0
+    for p in paths:
+        name = _name(p)
+        if name.startswith("v"):
+            i = _commit_idx(name)
+            if i is not None and i > best:
+                best = i
+    return best
+
+
+def sidecar_path(paths: list[str], prefix: str, idx: int) -> str:
+    return pp.join(pp.dirname(paths[0]), f"{prefix}{idx:05d}.parquet")
+
+
+def _read_sidecar(path: str, filesystem=None) -> tuple[pa.Table, list[str], int] | None:
+    """(table, covered base names, rows covered) or None when absent."""
+    import json
+
+    try:
+        t = pq.read_table(path, filesystem=filesystem)
+    except (FileNotFoundError, OSError):
+        return None
+    meta = (t.schema.metadata or {}).get(_SIDECAR_META)
+    if meta is None:
+        return None
+    m = json.loads(meta)
+    return t, list(m["covered"]), int(m["n_rows"])
+
+
+def _uncovered(paths: list[str], covered: list[str]) -> list[str] | None:
+    """Base paths appended after the sidecar's coverage, or None when the
+    covered list is not a prefix of the current base list (unexpected
+    layout — caller must fall back to a full read)."""
+    bases = base_paths(paths)
+    if [_name(p) for p in bases[: len(covered)]] != covered:
+        return None
+    return bases[len(covered):]
+
+
+def load_wait_candidates(
+    paths: list[str], filesystem=None
+) -> tuple[pa.Table, list[str], int] | None:
+    """Claim candidates for one partition in O(backlog + appended files).
+
+    Returns (cand, covered_now, n_rows_now) where cand has columns
+    (row_idx, url_hash, priority, status, attempt) holding every row whose
+    status could be claimable — the wait sidecar's rows (status WAIT by
+    construction) plus all rows of base files appended since it was written
+    (ins*/push*, whose rows are WAIT by construction but are read with their
+    real columns). covered_now/n_rows_now describe the partition's CURRENT
+    base files — what a subsequent sidecar write should record. None → no
+    usable sidecar (fall back to fold_candidates)."""
+    from ..pipelines import semantics as sem
+
+    idx = latest_sidecar_idx(paths)
+    got = _read_sidecar(sidecar_path(paths, "wait", idx), filesystem)
+    if got is None:
+        return None
+    wt, covered, n_cov = got
+    new_files = _uncovered(paths, covered)
+    if new_files is None:
+        return None
+    parts = [
+        pa.table(
+            {
+                "row_idx": wt["row_idx"],
+                "url_hash": wt["url_hash"],
+                "priority": wt["priority"],
+                "status": pa.array(np.full(wt.num_rows, sem.WAIT, np.int8), pa.int8()),
+                "attempt": wt["attempt"],
+            }
+        )
+    ]
+    offset = n_cov
+    covered_now = list(covered)
+    for p in new_files:
+        t = pq.read_table(p, columns=["url_hash", "priority", "status", "attempt"], filesystem=filesystem)
+        parts.append(
+            pa.table(
+                {
+                    "row_idx": pa.array(np.arange(offset, offset + t.num_rows), pa.int64()),
+                    "url_hash": t["url_hash"],
+                    "priority": t["priority"],
+                    "status": t["status"],
+                    "attempt": t["attempt"],
+                }
+            )
+        )
+        offset += t.num_rows
+        covered_now.append(_name(p))
+    return pa.concat_tables(parts).combine_chunks(), covered_now, offset
+
+
+def fold_candidates(paths: list[str], filesystem=None) -> tuple[pa.Table, list[str], int]:
+    """Fallback claim-candidate load: full light-column fold of the partition
+    (every row, all statuses) with row_idx attached — used when no wait
+    sidecar exists (pre-round-3 store) and to rebuild one."""
+    light = fold_paths(paths, columns=["url_hash", "priority", "status", "attempt"], filesystem=filesystem)
+    cand = pa.table(
+        {
+            "row_idx": pa.array(np.arange(light.num_rows), pa.int64()),
+            "url_hash": light["url_hash"],
+            "priority": light["priority"],
+            "status": light["status"],
+            "attempt": light["attempt"],
+        }
+    )
+    return cand, [_name(p) for p in base_paths(paths)], light.num_rows
+
+
+def keys_lookup(
+    paths: list[str], hashes: np.ndarray, filesystem=None
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Probe the sorted-keys sidecar for ``hashes`` (uint64).
+
+    Returns (found_mask, row_idx aligned to hashes (-1 where absent),
+    uncovered_base_paths). Only the sidecar's row groups whose [min, max]
+    zone straddles a candidate are read — O(candidates) row groups for a
+    hash-sorted file. Callers must additionally consult the uncovered base
+    paths (files appended since the last compaction, each O(wave) rows).
+    With no sidecar (legacy store) every base path is returned uncovered and
+    the mask is all-False."""
+    hashes = hashes.astype(np.uint64)
+    found = np.zeros(len(hashes), bool)
+    ridx = np.full(len(hashes), -1, np.int64)
+    kp = sidecar_path(paths, "keys", latest_keys_idx(paths))
+    import json
+
+    try:
+        pf = pq.ParquetFile(filesystem.open_input_file(kp) if filesystem is not None else kp)
+    except (FileNotFoundError, OSError):
+        return found, ridx, base_paths(paths)
+    meta = (pf.schema_arrow.metadata or {}).get(_SIDECAR_META)
+    if meta is None:
+        return found, ridx, base_paths(paths)
+    covered = list(json.loads(meta)["covered"])
+    uncovered = _uncovered(paths, covered)
+    if uncovered is None:
+        return found, ridx, base_paths(paths)
+    if len(hashes) and pf.metadata.num_row_groups:
+        srt = np.sort(hashes)
+        md = pf.metadata
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(0).statistics
+            if st is None or not st.has_min_max:
+                groups.append(g)  # no zone map → must read
+                continue
+            lo = np.searchsorted(srt, np.uint64(st.min), side="left")
+            hi = np.searchsorted(srt, np.uint64(st.max), side="right")
+            if lo < hi:
+                groups.append(g)
+        if groups and (kt := pf.read_row_groups(groups, columns=["url_hash", "row_idx"])).num_rows:
+            kh = kt["url_hash"].to_numpy().astype(np.uint64)  # sorted (file is)
+            kr = kt["row_idx"].to_numpy()
+            pos = np.searchsorted(kh, hashes)
+            ok = (pos < len(kh)) & (kh[np.minimum(pos, max(len(kh) - 1, 0))] == hashes)
+            found[ok] = True
+            ridx[ok] = kr[pos[ok]]
+    return found, ridx, uncovered
+
+
+def seen_mask(paths: list[str], hashes: np.ndarray, filesystem=None) -> np.ndarray:
+    """True where a hash is already committed in this partition — the exact
+    anti-join authority for inserts/pushes (SqlQueueTaskProvider.scala:58-68
+    analog), reading O(candidate) keys-sidecar row groups + the post-
+    compaction ins*/push* files instead of every base file's hash column."""
+    found, _, uncovered = keys_lookup(paths, hashes, filesystem)
+    for p in uncovered:
+        col = pq.read_table(p, columns=["url_hash"], filesystem=filesystem)["url_hash"].to_numpy()
+        found |= np.isin(hashes.astype(np.uint64), col.astype(np.uint64))
+    return found
+
 # row groups small enough that a top-K claim's heavy-column take reads a
 # bounded slice of the partition, large enough for scan efficiency
 _ROW_GROUP_SIZE = 65_536
@@ -217,6 +474,58 @@ class FrontierStore:
         an identical re-push is idempotent."""
         return self._write(pp.join(f"p{pid:04d}", f"push-{tag}.parquet"), table, FRONTIER_SCHEMA)
 
+    def _write_sidecar(
+        self, pid: int, prefix: str, idx: int, table: pa.Table, schema: pa.Schema,
+        covered: list[str], n_rows: int, row_group_size: int = _ROW_GROUP_SIZE,
+    ) -> str:
+        import json as _json
+        import uuid
+
+        rel = pp.join(f"p{pid:04d}", f"{prefix}{idx:05d}.parquet")
+        full = pp.join(self.path, rel)
+        self.fs.create_dir(pp.dirname(full), recursive=True)
+        t = table.cast(schema).replace_schema_metadata(
+            {_SIDECAR_META: _json.dumps({"covered": covered, "n_rows": n_rows})}
+        )
+        tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(t, tmp, filesystem=self.fs, row_group_size=row_group_size)
+        self.fs.move(tmp, full)
+        return rel
+
+    def write_wait(self, pid: int, table: pa.Table, idx: int, covered: list[str], n_rows: int) -> str:
+        """The partition's WAIT-backlog sidecar as of status commit ``idx``."""
+        return self._write_sidecar(pid, "wait", idx, table, WAIT_SCHEMA, covered, n_rows)
+
+    def write_keys(self, pid: int, table: pa.Table, idx: int, covered: list[str], n_rows: int) -> str:
+        """The partition's sorted-hash sidecar (written at init/compaction)."""
+        return self._write_sidecar(
+            pid, "keys", idx, table, KEYS_SCHEMA, covered, n_rows, row_group_size=_KEYS_ROW_GROUP
+        )
+
+    def claim_scan_bytes(self, wave: int | None = None) -> int:
+        """Bytes the next claim will read for candidate selection: wait
+        sidecars + bases appended since (bench evidence that the claim scan
+        is O(WAIT backlog), not O(frontier); falls back to all base bytes
+        for partitions without a sidecar)."""
+        import json as _json
+
+        total = 0
+        for _, paths in self.partition_files(wave).items():
+            wp = sidecar_path(paths, "wait", latest_sidecar_idx(paths))
+            try:  # footer-only read: covered list lives in the schema metadata
+                meta = (pq.read_schema(wp, filesystem=self.fs).metadata or {}).get(_SIDECAR_META)
+            except (FileNotFoundError, OSError):
+                meta = None
+            new_files = (
+                _uncovered(paths, list(_json.loads(meta)["covered"])) if meta is not None else None
+            )
+            if meta is None or new_files is None:
+                total += sum(file_size(self.fs, p) for p in base_paths(paths))
+                continue
+            total += file_size(self.fs, wp)
+            total += sum(file_size(self.fs, p) for p in new_files)
+        return total
+
     @classmethod
     def initialize(
         cls, path: str, seeds: pa.Table, num_partitions: int, meta: dict | None = None, filesystem=None
@@ -228,7 +537,31 @@ class FrontierStore:
         pid_col = seeds["partition_id"].to_numpy()
         for pid in range(num_partitions):  # every partition gets a file, even if empty
             sub = seeds.filter(pa.array(pid_col == pid))
-            parts[pid] = [fs_store.write_main(pid, sub, wave=-2)]
+            rel = fs_store.write_main(pid, sub, wave=-2)
+            parts[pid] = [rel]
+            # seed sidecars (idx 0): every seed row is WAIT; keys sorted
+            cov, n = [_name(rel)], sub.num_rows
+            fs_store.write_wait(
+                pid,
+                pa.table(
+                    {
+                        "row_idx": pa.array(np.arange(n), pa.int64()),
+                        "url_hash": sub["url_hash"],
+                        "priority": sub["priority"],
+                        "attempt": sub["attempt"],
+                    }
+                ),
+                0, cov, n,
+            )
+            uh = sub["url_hash"].to_numpy().astype(np.uint64)
+            order = np.argsort(uh, kind="stable")
+            fs_store.write_keys(
+                pid,
+                pa.table(
+                    {"url_hash": pa.array(uh[order], pa.uint64()), "row_idx": pa.array(order, pa.int64())}
+                ),
+                0, cov, n,
+            )
         fs_store.commit(-1, parts, {"num_partitions": num_partitions, **(meta or {})})
         return fs_store
 

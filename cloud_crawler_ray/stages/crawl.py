@@ -194,15 +194,21 @@ def commit_status_files(
     order_path: str,
     compact_files: int,
     cfg: sw.WebConfig,
+    cand_info: tuple | None = None,
 ) -> tuple[str, str, str, int]:
     """Write one partition's wave-status commit: the ``del*`` file (or, when
     the file list is long, the folded+consolidated ``v*`` main — amortized
-    compaction) plus the crawl-order fragment with the deterministic UA
-    column. Shared by the light path (runs inside the claim task — zero
-    exchanges, like the fused r1 design) and the io path (runs inside the
-    CommitPartition group task). Returns (src, rel, order_rel, n_order)."""
+    compaction) plus the updated WAIT-backlog sidecar (claim's O(backlog)
+    index, VERDICT r2 #1), the sorted-keys sidecar on compaction, and the
+    crawl-order fragment with the deterministic UA column. Shared by the
+    light path (runs inside the claim task — zero exchanges, like the fused
+    r1 design) and the io path (runs inside the CommitPartition group task).
+    ``cand_info`` is the claim's (candidates, covered, n_rows) load, passed
+    through on the light path to avoid a second sidecar read.
+    Returns (src, rel, order_rel, n_order)."""
     rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
     delta = pa.table({"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]})
+    d_uh = delta["url_hash"].to_numpy().astype(np.uint64)
     # the delta file is written even when this wave compacts (it is then NOT
     # referenced by the manifest): it is the wave's status record, which
     # wave_done_urls / project chaining reads back per wave
@@ -211,9 +217,7 @@ def commit_status_files(
         full = fsrc.fold_paths(paths, filesystem=store.fs)
         uh_all = full["url_hash"].to_numpy().astype(np.uint64)
         order = np.argsort(uh_all, kind="stable")
-        pos = fsrc.scatter_positions(
-            order, uh_all[order], delta["url_hash"].to_numpy().astype(np.uint64), f"compact p{pid}"
-        )
+        pos = fsrc.scatter_positions(order, uh_all[order], d_uh, f"compact p{pid}")
         status = full["status"].to_numpy().copy()
         attempt = full["attempt"].to_numpy().copy()
         status[pos] = delta["status"].to_numpy()
@@ -222,9 +226,58 @@ def commit_status_files(
         full = full.set_column(full.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32()))
         rel = store.write_main(pid, full.cast(FRONTIER_SCHEMA), wave)
         src = "compact"
+        # rebuild both sidecars from the compacted table (row_idx re-bases
+        # to the single new v* file; the full table is in memory anyway)
+        cov, n_all = [rel.rsplit("/", 1)[-1]], full.num_rows
+        keep = np.flatnonzero(status == sem.WAIT)
+        store.write_wait(
+            pid,
+            pa.table(
+                {
+                    "row_idx": pa.array(keep, pa.int64()),
+                    "url_hash": pa.array(uh_all[keep], pa.uint64()),
+                    "priority": pa.array(full["priority"].to_numpy()[keep], pa.float32()),
+                    "attempt": pa.array(attempt[keep], pa.int32()),
+                }
+            ),
+            wave + 1, cov, n_all,
+        )
+        store.write_keys(
+            pid,
+            pa.table({"url_hash": pa.array(uh_all[order], pa.uint64()), "row_idx": pa.array(order, pa.int64())}),
+            wave + 1, cov, n_all,
+        )
     else:
         rel = delta_rel
         src = "delta"
+        # incremental WAIT-sidecar update: previous backlog + files appended
+        # since, with this wave's O(wave) delta applied — never O(frontier)
+        info = cand_info
+        if info is None:
+            info = fsrc.load_wait_candidates(paths, filesystem=store.fs)
+        if info is None:
+            info = fsrc.fold_candidates(paths, filesystem=store.fs)
+        cand, covered_now, n_rows_now = info
+        c_uh = cand["url_hash"].to_numpy().astype(np.uint64)
+        c_order = np.argsort(c_uh, kind="stable")
+        pos = fsrc.scatter_positions(c_order, c_uh[c_order], d_uh, f"wait-sidecar p{pid}")
+        status = cand["status"].to_numpy().copy()
+        attempt = cand["attempt"].to_numpy().copy()
+        status[pos] = delta["status"].to_numpy()
+        attempt[pos] = delta["attempt"].to_numpy()
+        keep = np.flatnonzero(status == sem.WAIT)
+        store.write_wait(
+            pid,
+            pa.table(
+                {
+                    "row_idx": pa.array(cand["row_idx"].to_numpy()[keep], pa.int64()),
+                    "url_hash": pa.array(c_uh[keep], pa.uint64()),
+                    "priority": pa.array(cand["priority"].to_numpy()[keep], pa.float32()),
+                    "attempt": pa.array(attempt[keep], pa.int32()),
+                }
+            ),
+            wave + 1, covered_now, n_rows_now,
+        )
     forder = rows.filter(rows["fetched"])
     order_rel = ""
     if forder.num_rows:
@@ -291,29 +344,39 @@ class ClaimStage:
         cfg, wave, pl = self.cfg, self.wave, self.pipeline
         out: list[pa.Table] = []
         for pid, paths in zip(t["pid"].to_pylist(), t["paths"].to_pylist()):
-            light = fsrc.fold_paths(list(paths), columns=["url_hash", "priority", "status", "attempt"])
-            uh_all = light["url_hash"].to_numpy().astype(np.uint64)
-            sel = sem.select_wave_indices(
-                light["priority"].to_numpy(),
-                uh_all,
-                light["status"].to_numpy(),
-                light["attempt"].to_numpy(),
+            paths = list(paths)
+            # O(WAIT backlog) candidate load from the wait sidecar (+ files
+            # appended since); full light-column fold only as the legacy
+            # fallback (VERDICT r2 #1: claim cost tracks backlog, not
+            # frontier size)
+            info = fsrc.load_wait_candidates(paths)
+            if info is None:
+                info = fsrc.fold_candidates(paths)
+            cand, _, _ = info
+            c_uh = cand["url_hash"].to_numpy().astype(np.uint64)
+            sel_local = sem.select_wave_indices(
+                cand["priority"].to_numpy(),
+                c_uh,
+                cand["status"].to_numpy(),
+                cand["attempt"].to_numpy(),
                 self.k,
                 cfg.max_attempts,
             )
-            if len(sel) == 0:
+            if len(sel_local) == 0:
                 continue
-            sel = np.sort(sel)
-            heavy = fsrc.take_rows(fsrc.base_paths(list(paths)), sel, ["url", "host", "depth", "discovered_at"])
+            ridx = cand["row_idx"].to_numpy()[sel_local]
+            o = np.argsort(ridx)
+            sel_local, sel = sel_local[o], ridx[o]
+            heavy = fsrc.take_rows(fsrc.base_paths(paths), sel, ["url", "host", "depth", "discovered_at"])
             claim = pa.table(
                 {
                     "url": heavy["url"],
-                    "url_hash": pa.array(uh_all[sel], pa.uint64()),
+                    "url_hash": pa.array(c_uh[sel_local], pa.uint64()),
                     "host": heavy["host"],
                     "depth": heavy["depth"],
-                    "priority": pa.array(light["priority"].to_numpy()[sel], pa.float32()),
+                    "priority": pa.array(cand["priority"].to_numpy()[sel_local], pa.float32()),
                     "discovered_at": heavy["discovered_at"],
-                    "attempt": pa.array(light["attempt"].to_numpy()[sel], pa.int32()),
+                    "attempt": pa.array(cand["attempt"].to_numpy()[sel_local], pa.int32()),
                 }
             )
             keep = np.ones(claim.num_rows, bool)
@@ -336,7 +399,8 @@ class ClaimStage:
                 # candidates cross the wave's one shuffle, as in r1)
                 store = FrontierStore(self.frontier_path, self.P)
                 src, rel, order_rel, n_order = commit_status_files(
-                    store, pid, list(paths), rows, self.wave, self.order_path, self.compact_files, self.cfg
+                    store, pid, paths, rows, self.wave, self.order_path, self.compact_files, self.cfg,
+                    cand_info=info,
                 )
                 out.append(_marker_row(pid, src, rel, order_rel, n_order, rows.num_rows))
         return pa.concat_tables(out) if out else _empty_fetch_out()
@@ -886,8 +950,6 @@ class CommitPartition:
         return result_row(src, pid, rel=rel, rel2=order_rel, n1=n_order, n2=rows.num_rows)
 
     def _commit_inserts(self, pid: int, paths: list[str], store: FrontierStore, cand: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         cand = cand.take(
             pc.sort_indices(
                 cand,
@@ -901,10 +963,11 @@ class CommitPartition:
         uh = cand["url_hash"].to_numpy().astype(np.uint64)
         first = np.concatenate([[True], uh[1:] != uh[:-1]]) if len(uh) else np.zeros(0, bool)
         cand = cand.filter(pa.array(first))
-        seen = np.concatenate(
-            [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in fsrc.base_paths(paths)]
-        ).astype(np.uint64)
-        fresh_mask = ~np.isin(cand["url_hash"].to_numpy().astype(np.uint64), seen)
+        # exact anti-join confirm against committed rows: sorted-keys sidecar
+        # probed via row-group zone maps + post-compaction ins*/push* files —
+        # O(candidates) row groups, not the partition's whole hash column
+        # (VERDICT r2 #2; SqlQueueTaskProvider.scala:58-68 semantics intact)
+        fresh_mask = ~fsrc.seen_mask(paths, cand["url_hash"].to_numpy().astype(np.uint64))
         fresh = cand.filter(pa.array(fresh_mask))
         if fresh.num_rows == 0:
             return empty_result()

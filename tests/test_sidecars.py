@@ -1,0 +1,154 @@
+"""Round-3 partition sidecars (VERDICT r2 #1-#4): the WAIT-backlog sidecar
+that bounds the claim scan, the sorted-keys sidecar behind insert/push
+anti-join confirms and hash→row lookups, and the O(wave) wave_done_urls.
+
+Every test checks the sidecar-derived answer against the ground truth
+recomputed by a full partition fold — the invariant the incremental
+maintenance must preserve across waves, compactions, inserts and pushes.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cloud_crawler_ray.pipelines import semantics as sem, synthweb as sw
+from cloud_crawler_ray.pipelines.wave import CrawlEngine
+from cloud_crawler_ray.sources import frontier as fsrc
+
+CFG = sw.WebConfig(n_hosts=10, pages_per_host=80, n_seed_hosts=6, max_links=4, seed=5)
+P, S, K = 4, 2, 25
+
+
+@pytest.fixture(scope="module")
+def crawl(ray_session, tmp_path_factory):
+    """A crawl long enough to trigger compaction (compact_files=3) so both
+    the incremental and the rebuild sidecar paths are exercised."""
+    root = str(tmp_path_factory.mktemp("sidecars") / "job")
+    eng = CrawlEngine.start(
+        root, CFG, num_partitions=P, num_shards=S, wave_cap_per_partition=K, compact_files=3
+    )
+    eng.run(max_waves=6)
+    eng.push_tasks([f"http://host{i:03d}.example/p{70 + i}" for i in range(8)])
+    yield eng
+    eng.shutdown_shards()
+
+
+class TestWaitSidecar:
+    def test_wait_sidecar_matches_folded_wait_rows(self, crawl):
+        """Per partition: the sidecar-loaded claim candidates, restricted to
+        WAIT, must equal the WAIT rows of a full delta fold — same hashes,
+        priorities, attempts AND row indices."""
+        for pid, paths in crawl.frontier.partition_files().items():
+            info = fsrc.load_wait_candidates(paths)
+            assert info is not None, f"partition {pid} lost its wait sidecar"
+            cand, covered, n_rows = info
+            full = fsrc.fold_paths(paths, columns=["url_hash", "priority", "status", "attempt"])
+            assert n_rows == full.num_rows
+            st = cand["status"].to_numpy()
+            cuh = cand["url_hash"].to_numpy().astype(np.uint64)[st == sem.WAIT]
+            catt = cand["attempt"].to_numpy()[st == sem.WAIT]
+            cidx = cand["row_idx"].to_numpy()[st == sem.WAIT]
+            fst = full["status"].to_numpy()
+            fidx = np.flatnonzero(fst == sem.WAIT)
+            fuh = full["url_hash"].to_numpy().astype(np.uint64)[fidx]
+            fatt = full["attempt"].to_numpy()[fidx]
+            o_c, o_f = np.argsort(cidx), np.argsort(fidx)
+            assert np.array_equal(cidx[o_c], fidx[o_f])
+            assert np.array_equal(cuh[o_c], fuh[o_f])
+            assert np.array_equal(catt[o_c], fatt[o_f])
+
+    def test_claim_bytes_reported_and_bounded(self, crawl):
+        """The per-wave claim_bytes metric exists and, once the crawl is
+        deep, is smaller than a full light-column scan of the frontier
+        (the O(backlog) evidence the bench records)."""
+        ms = crawl.metrics_table().to_pylist()
+        assert all("claim_bytes" in m for m in ms)
+        assert all(m["claim_bytes"] > 0 for m in ms)
+        total_base = sum(
+            pq.read_metadata(p).num_rows
+            for paths in crawl.frontier.partition_files().values()
+            for p in fsrc.base_paths(paths)
+        )
+        # the final backlog is far smaller than the frontier: so must be the
+        # next claim's scan bytes vs the full base bytes
+        full_bytes = sum(
+            fsrc.file_size(crawl.frontier.fs, p)
+            for paths in crawl.frontier.partition_files().values()
+            for p in fsrc.base_paths(paths)
+        )
+        assert crawl.frontier.claim_scan_bytes() < full_bytes
+        assert total_base > 0
+
+
+class TestKeysSidecar:
+    def test_seen_mask_matches_full_scan(self, crawl):
+        rng = np.random.default_rng(3)
+        for pid, paths in crawl.frontier.partition_files().items():
+            full = np.concatenate(
+                [
+                    pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy()
+                    for p in fsrc.base_paths(paths)
+                ]
+            ).astype(np.uint64)
+            if not len(full):
+                continue
+            present = rng.choice(full, size=min(50, len(full)), replace=False)
+            absent = rng.integers(0, 2**63, 50).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+            absent = absent[~np.isin(absent, full)]
+            probe = np.concatenate([present, absent])
+            got = fsrc.seen_mask(paths, probe)
+            want = np.isin(probe, full)
+            assert np.array_equal(got, want)
+
+    def test_keys_lookup_row_idx_addresses_the_right_rows(self, crawl):
+        for pid, paths in crawl.frontier.partition_files().items():
+            bases = fsrc.base_paths(paths)
+            full = np.concatenate(
+                [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in bases]
+            ).astype(np.uint64)
+            if not len(full):
+                continue
+            probe = full[:: max(1, len(full) // 40)]
+            found, ridx, uncovered = fsrc.keys_lookup(paths, probe)
+            if not found.any():
+                continue  # partition never compacted and keys only covers seeds
+            idx = np.sort(ridx[found])
+            t = fsrc.take_rows(bases, idx, ["url_hash"])
+            assert np.array_equal(
+                np.sort(t["url_hash"].to_numpy().astype(np.uint64)),
+                np.sort(probe[found]),
+            )
+
+    def test_push_tasks_idempotent_via_sidecar_confirm(self, crawl):
+        """A re-push of already-inserted URLs must insert 0 (anti-join
+        semantics unchanged by the zone-map confirm path)."""
+        urls = [f"http://host{i:03d}.example/p{70 + i}" for i in range(8)]
+        assert crawl.push_tasks(urls) == 0
+        uh = crawl.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy()
+        assert len(uh) == len(np.unique(uh))
+
+
+class TestWaveDoneUrls:
+    def test_matches_full_fold_reference(self, crawl):
+        """The sidecar-driven wave_done_urls equals the brute-force answer
+        (delta DONE hashes ∩ full url fold) for every committed wave."""
+        for wave in range(crawl.frontier.latest_wave() + 1):
+            got = crawl.wave_done_urls(wave)
+            want = []
+            import os
+
+            for pid, paths in crawl.frontier.partition_files(wave).items():
+                dp = os.path.join(crawl.frontier.path, f"p{pid:04d}", f"del{wave + 1:05d}.parquet")
+                if not os.path.exists(dp):
+                    continue
+                d = pq.read_table(dp)
+                hashes = d.filter(pa.compute.equal(d["status"], sem.DONE))["url_hash"].to_numpy()
+                if not len(hashes):
+                    continue
+                t = fsrc.fold_paths(paths, columns=["url", "url_hash"])
+                m = np.isin(t["url_hash"].to_numpy().astype(np.uint64), hashes.astype(np.uint64))
+                want.extend(t.filter(pa.array(m))["url"].to_pylist())
+            assert got == sorted(want)
+            if wave <= 1:
+                assert got, f"wave {wave} produced no DONE urls — degenerate fixture"
