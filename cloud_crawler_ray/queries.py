@@ -737,17 +737,104 @@ def q_embedding_topk(sf_dir: str):
     return scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def neardup_pairs_block(ids: np.ndarray, emb: np.ndarray, tau: float = 0.3, ch: int = 512,
+                        direct_below: int = 512) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All pairs with cosine ≥ tau within one block — COMPLETE candidate
+    blocking via deterministic spherical k-means (VERDICT r2 #5).
+
+    Instead of the r2 all-pairs chunked matmul (O(n²·d) FLOPs per label
+    block), vectors are clustered into K = ⌈√n⌉ spherical k-means cells
+    (seeded by id-order strides + a fixed Lloyd count → deterministic).
+    A vector a is compared against cell c's members iff
+    angle(a, centroid_c) ≤ arccos(tau) + radius_c: by the triangle
+    inequality on the sphere, any pair (a, b) with angle(a,b) ≤ arccos(tau)
+    has a probing b's home cell — no false negatives, so the exact SQL
+    oracle still matches. Cost: O(n^1.5·d) assignment + Σ|probe_c|·|cell_c|
+    exact verifies — for clustered near-dup data ≈ O(n^1.5·d); for
+    adversarially uniform data it degrades toward all-pairs but never
+    drops a pair. Memory stays O(ch·n·8) via row-chunked matmuls.
+
+    ``ids`` must be sorted ascending; returns (vec_a, vec_b, cos_sim
+    rounded to 6) with vec_a < vec_b."""
+    n = len(ids)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    x = emb / np.where(norms == 0, 1, norms)
+    if n <= direct_below:  # small blocks: direct chunked all-pairs
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, ch):
+            sims = x[i0 : i0 + ch] @ x.T
+            loc, col = np.nonzero(sims >= tau)
+            row = loc + i0
+            keep = col > row
+            out_a.append(row[keep]); out_b.append(col[keep])
+            out_s.append(np.round(sims[loc[keep], col[keep]], 6))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.zeros(0, np.float64)
+        return ids[a], ids[b], s
+    K = int(np.ceil(np.sqrt(n)))
+    c = x[np.linspace(0, n - 1, K).astype(np.int64)].copy()  # id-stride seeding
+    cn = np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.where(cn == 0, 1, cn)
+    for _ in range(4):  # fixed Lloyd count → deterministic
+        assign = np.empty(n, np.int64)
+        for i0 in range(0, n, ch):
+            assign[i0 : i0 + ch] = np.argmax(x[i0 : i0 + ch] @ c.T, axis=1)
+        for j in range(K):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    c[j] = v / nv
+    own = np.empty(n, np.float64)
+    for i0 in range(0, n, ch):
+        sims = x[i0 : i0 + ch] @ c.T
+        assign[i0 : i0 + ch] = np.argmax(sims, axis=1)
+        own[i0 : i0 + ch] = sims[np.arange(len(sims)), assign[i0 : i0 + ch]]
+    theta_own = np.arccos(np.clip(own, -1.0, 1.0))
+    radius = np.zeros(K, np.float64)
+    np.maximum.at(radius, assign, theta_own)
+    theta_tau = np.arccos(np.clip(tau, -1.0, 1.0))
+    # probe threshold per cell: cos(theta_tau + radius_c), -1 when the sum
+    # passes pi (probe everything); small epsilon absorbs arccos rounding
+    probe_cos = np.where(theta_tau + radius >= np.pi, -1.0, np.cos(theta_tau + radius)) - 1e-9
+    out_keys, out_s = [], []
+    members = [np.flatnonzero(assign == j) for j in range(K)]
+    for i0 in range(0, n, ch):
+        sims_c = x[i0 : i0 + ch] @ c.T  # (chunk, K) probe test
+        for j in range(K):
+            mj = members[j]
+            if not len(mj):
+                continue
+            probers = np.flatnonzero(sims_c[:, j] >= probe_cos[j]) + i0
+            if not len(probers):
+                continue
+            sims = x[probers] @ x[mj].T
+            loc, col = np.nonzero(sims >= tau)
+            a_pos, b_pos = probers[loc], mj[col]
+            keep = a_pos < b_pos
+            out_keys.append(a_pos[keep].astype(np.uint64) * np.uint64(n) + b_pos[keep].astype(np.uint64))
+            out_s.append(np.round(sims[loc[keep], col[keep]], 6))
+    if not out_keys:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    keys = np.concatenate(out_keys)
+    svals = np.concatenate(out_s)
+    _, first = np.unique(keys, return_index=True)  # pair found via ≤2 home cells → dedup
+    keys, svals = keys[first], svals[first]
+    a_pos = (keys // np.uint64(n)).astype(np.int64)
+    b_pos = (keys % np.uint64(n)).astype(np.int64)
+    return ids[a_pos], ids[b_pos], svals
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs, blocked by label (sim ≥ 0.3).
 
-    The per-block similarity is computed in row chunks (CH×n matmul per
-    step, upper-triangle masked) instead of r1's full n×n matrix — peak
-    memory per task is O(CH·n) = CH·n·8 bytes (512 rows × 10^6-row block ≈
-    4 GB worst-case bound; shrink CH for bigger blocks) while the emitted
-    pairs stay identical.
-    """
-    CH = 512
-
+    Per label group: complete spherical-k-means candidate blocking + exact
+    verify (neardup_pairs_block) — O(n^1.5·d)-ish FLOPs with no false
+    negatives (the property test proves pair-set equality vs brute force),
+    chunked matmuls bounding peak memory at O(512·n·8)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
@@ -755,22 +842,7 @@ def q_embedding_neardup(sf_dir: str):
         order = np.argsort(ids)
         ids = ids[order]
         emb = np.array(g["embedding"].tolist(), np.float64)[order]
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.where(norms == 0, 1, norms)
-        n = len(ids)
-        out_a, out_b, out_s = [], [], []
-        for i0 in range(0, n, CH):
-            i1 = min(n, i0 + CH)
-            sims = emb[i0:i1] @ emb.T  # (chunk, n)
-            loc, col = np.nonzero(sims >= 0.3)
-            row = loc + i0
-            keep = col > row  # upper triangle only
-            out_a.append(ids[row[keep]])
-            out_b.append(ids[col[keep]])
-            out_s.append(np.round(sims[loc[keep], col[keep]], 6))
-        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
-        s = np.concatenate(out_s) if out_s else np.zeros(0, np.float64)
+        a, b, s = neardup_pairs_block(ids, emb)
         return pd.DataFrame({
             "vec_a": pd.Series(a, dtype=np.int64),
             "vec_b": pd.Series(b, dtype=np.int64),
@@ -1215,18 +1287,41 @@ def q_distinct_count(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def q_embedding_topk_ivf(sf_dir: str):
-    """IVF-probed cosine top-k (scale path of q_embedding_topk; rows-only —
-    recall vs brute force is unit-tested)."""
+@ray.remote
+def _train_ivf_task(path: str, n_lists: int, cap: int):
+    """Train IVF centroids on a bounded streaming sample INSIDE a Ray task —
+    the driver never reads the embeddings table (VERDICT r2 #6). The sample
+    is the first ``cap`` rows in file order (deterministic), streamed batch
+    by batch so peak memory is O(cap·d) regardless of table size; a real
+    deployment would reservoir-sample per block and union, same shape."""
     import pyarrow.parquet as pq
 
     from .functions.ann import IVFIndex
 
+    pf = pq.ParquetFile(path)
+    got, n = [], 0
+    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        got.append(np.array(b["embedding"].to_pylist(), np.float64))
+        n += b.num_rows
+        if n >= cap:
+            break
+    x = np.concatenate(got)[:cap]
+    return IVFIndex.build(x, n_lists=n_lists)
+
+
+def q_embedding_topk_ivf(sf_dir: str):
+    """IVF-probed cosine top-k (scale path of q_embedding_topk; rows-only —
+    recall vs brute force is unit-tested). Centroids are trained task-side
+    on a bounded sample; the query vector comes from a row-group-pruned
+    filtered read; assignment+scoring stream over the actor pool."""
+    import pyarrow.parquet as pq
+
     k, n_lists, nprobe = 10, 8, 3
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = np.array(emb["embedding"].to_pylist(), np.float64)
-    index = IVFIndex.build(vecs, n_lists=n_lists)
-    q = vecs[pc.index(emb["vec_id"], 0).as_py()]
+    index = ray.get(_train_ivf_task.remote(f"{sf_dir}/embeddings.parquet", n_lists, 4096))
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
+    )
+    q = np.array(qt["embedding"].to_pylist(), np.float64)[0]
     probed = set(index.probe_lists(q, nprobe).tolist())
     index_ref = ray.put(index)
     q_ref = ray.put(q / np.linalg.norm(q))
@@ -1515,12 +1610,24 @@ def q_approx_distinct_users(sf_dir: str):
         h = HyperLogLog().add_many(t["user_id"].to_numpy().astype(np.uint64))
         return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
 
-    merged = None
-    for b in ds.map_batches(sketch, **_PA).iter_batches(batch_format="pyarrow"):
-        for blob in b["sketch"].to_pylist():
+    def merge_all(t: pa.Table) -> pa.Table:
+        merged = None
+        for blob in t["sketch"].to_pylist():
             s = HyperLogLog.deserialize(blob)
             merged = s if merged is None else merged.merge(s)
-    est = int(round(merged.estimate())) if merged is not None else 0
+        if merged is None:
+            return pa.table({"sketch": pa.array([], pa.binary())})
+        return pa.table({"sketch": pa.array([merged.serialize()], pa.binary())})
+
+    # sketches are KB-sized: repartition(1) ships them to ONE reduce task
+    # (not the driver) for the final merge; the driver reads back one blob
+    rows = (
+        ds.map_batches(sketch, **_PA)
+        .repartition(1)
+        .map_batches(merge_all, batch_size=None, **_PA)  # whole block = one merge
+        .take_all()
+    )
+    est = int(round(HyperLogLog.deserialize(rows[0]["sketch"]).estimate())) if rows else 0
     return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
 
 

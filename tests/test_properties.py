@@ -110,3 +110,57 @@ class TestPrefixFilterExactness:
                     assert prefix(sets[i]) & prefix(sets[j]), (
                         f"prefix filter missed a true pair: {sets[i]} vs {sets[j]}"
                     )
+
+
+class TestNeardupBlockingCompleteness:
+    """The spherical-k-means candidate blocking in neardup_pairs_block is
+    COMPLETE: on any input, the blocked path emits exactly the pair set of
+    the brute-force all-pairs scan (no false negatives by the triangle
+    inequality; no false positives by exact verify)."""
+
+    def _brute(self, ids, emb, tau=0.3):
+        x = emb / np.where(np.linalg.norm(emb, axis=1, keepdims=True) == 0, 1,
+                           np.linalg.norm(emb, axis=1, keepdims=True))
+        sims = x @ x.T
+        a, b = np.nonzero(sims >= tau)
+        keep = a < b
+        return {
+            (int(ids[i]), int(ids[j]), round(float(sims[i, j]), 6))
+            for i, j in zip(a[keep], b[keep])
+        }
+
+    def _check(self, emb, tau=0.3):
+        from cloud_crawler_ray.queries import neardup_pairs_block
+
+        ids = np.arange(len(emb)) * 3 + 7
+        a, b, s = neardup_pairs_block(ids, emb, tau=tau, direct_below=16)  # force blocked path
+        got = {(int(x), int(y), round(float(v), 6)) for x, y, v in zip(a, b, s)}
+        want = self._brute(ids, emb, tau)
+        missing = {(x, y) for x, y, _ in want} - {(x, y) for x, y, _ in got}
+        extra = {(x, y) for x, y, _ in got} - {(x, y) for x, y, _ in want}
+        assert not missing, f"blocking dropped {len(missing)} true pairs: {sorted(missing)[:5]}"
+        assert not extra, f"blocking invented {len(extra)} pairs"
+        assert got == want  # sims agree after rounding too
+
+    def test_clustered_neardups(self):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(40, 12))
+        emb = np.concatenate([base[rng.integers(0, 40, 1200)] + rng.normal(scale=0.05, size=(1200, 12))])
+        self._check(emb)
+
+    def test_uniform_vectors(self):
+        rng = np.random.default_rng(7)
+        self._check(rng.normal(size=(700, 8)))
+
+    def test_with_zero_vectors_and_duplicates(self):
+        rng = np.random.default_rng(3)
+        emb = rng.normal(size=(300, 6))
+        emb[10] = 0.0
+        emb[200] = emb[100]  # exact duplicate -> sim 1.0
+        self._check(emb)
+
+    def test_high_threshold(self):
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(25, 10))
+        emb = base[rng.integers(0, 25, 600)] + rng.normal(scale=0.02, size=(600, 10))
+        self._check(emb, tau=0.9)
