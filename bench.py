@@ -123,6 +123,9 @@ def run_crawl(num_cpus: int) -> dict:
         # round-2 delta-commit design); per-wave claim/commit split shows
         # where wall time goes
         "frontier_bytes_per_wave": [m["frontier_bytes"] for m in r["metrics"]],
+        # claim-stage candidate-scan bytes (wait sidecar + appended files) —
+        # O(WAIT backlog), not O(frontier) (round-3 sidecar design)
+        "claim_bytes_per_wave": [m.get("claim_bytes", 0) for m in r["metrics"]],
         "t_claim_per_wave": [m["t_claim"] for m in r["metrics"]],
         "t_commit_per_wave": [m["t_commit"] for m in r["metrics"]],
         "output_digest": digest,
