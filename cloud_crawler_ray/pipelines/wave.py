@@ -364,8 +364,7 @@ class CrawlEngine:
         old_manifest = self.frontier.manifest()
         # bench evidence for the O(backlog) claim scan (VERDICT r2 #1):
         # bytes the claim stage will read for candidate selection this wave
-        import os as _os
-        claim_bytes = 0 if _os.environ.get("GRAFT_AB_NO_CB") == "1" else self.frontier.claim_scan_bytes()
+        claim_bytes = self.frontier.claim_scan_bytes()
 
         # ---- execution 1: pruned per-partition claim (+ light fetch, whose
         # status delta + order fragment are written inside the claim task)

@@ -967,15 +967,7 @@ class CommitPartition:
         # probed via row-group zone maps + post-compaction ins*/push* files —
         # O(candidates) row groups, not the partition's whole hash column
         # (VERDICT r2 #2; SqlQueueTaskProvider.scala:58-68 semantics intact)
-        import os as _os
-        if _os.environ.get("GRAFT_AB_OLD_CONFIRM") == "1":  # temp bisect gate
-            import pyarrow.parquet as _pq
-            seen = np.concatenate(
-                [_pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in fsrc.base_paths(paths)]
-            ).astype(np.uint64)
-            fresh_mask = ~np.isin(cand["url_hash"].to_numpy().astype(np.uint64), seen)
-        else:
-            fresh_mask = ~fsrc.seen_mask(paths, cand["url_hash"].to_numpy().astype(np.uint64))
+        fresh_mask = ~fsrc.seen_mask(paths, cand["url_hash"].to_numpy().astype(np.uint64))
         fresh = cand.filter(pa.array(fresh_mask))
         if fresh.num_rows == 0:
             return empty_result()
