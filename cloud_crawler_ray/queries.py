@@ -924,6 +924,123 @@ def q_top_terms(sf_dir: str):
     return agg.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(topk, batch_format="pandas")
 
 
+def q_length_filter(sf_dir: str):
+    """Percentile length filter — the Gopher/CCNet-style quality gate: per
+    language, keep documents whose token count lies within the [p10, p90]
+    decile band of that language.
+
+    Percentiles are NEAREST-RANK (0-based index (N-1)//10 and 9*(N-1)//10
+    of the sorted counts) — pure integer arithmetic, so the DuckDB oracle
+    is bit-exact with no float-interpolation boundary ambiguity.
+
+    Distributed shape: token counts are a vectorized map_batches; the
+    per-language distribution is collapsed to a (lang, n_tokens, count)
+    HISTOGRAM via per-batch Arrow partial counts + one tiny groupby-sum
+    (the combiner keeps the shuffle at one row per distinct count), the
+    decile thresholds come from the histogram's cumulative sums (a
+    KB-sized table), and the filter is a threshold-broadcast map_batches —
+    no per-document sort, no O(corpus) driver state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": n})
+
+    counted = ds.map_batches(count_tokens, **_PA).materialize()
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_tokens", "partial"])
+
+    hist = (
+        counted.map_batches(partial_hist, **_PA)
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+        .take_all()
+    )  # tiny: |langs| × |distinct counts| rows
+    import collections
+
+    by_lang: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+    for r in hist:
+        by_lang[r["lang"]].append((int(r["n_tokens"]), int(r["cnt"])))
+    bounds: dict[str, tuple[int, int]] = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        ns = np.array([v for v, _ in vals], np.int64)
+        cum = np.cumsum([c for _, c in vals])
+        total = int(cum[-1])
+        lo_r, hi_r = (total - 1) // 10, (9 * (total - 1)) // 10
+        lo = int(ns[np.searchsorted(cum, lo_r + 1)])
+        hi = int(ns[np.searchsorted(cum, hi_r + 1)])
+        bounds[lang] = (lo, hi)
+    bounds_ref = ray.put(bounds)
+
+    class Filt:
+        def __init__(self):
+            self.bounds = ray.get(bounds_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lo = np.array([self.bounds[x][0] for x in t["lang"].to_pylist()], np.int64)
+            hi = np.array([self.bounds[x][1] for x in t["lang"].to_pylist()], np.int64)
+            n = t["n_tokens"].to_numpy()
+            return t.filter(pa.array((n >= lo) & (n <= hi)))
+
+    return counted.map_batches(Filt, concurrency=_pool(), **_PA)
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Token-chunk exact dedup — the substring-granularity dedup staple:
+    split each document into consecutive 16-token chunks, keep-first per
+    distinct chunk (owner = min doc_id) and count copies.
+
+    Distributed shape: vectorized tokenize (split_pattern_regex), chunk
+    assembly and per-batch partial (chunk → min owner, count) combiner, one
+    groupby(chunk) Min/Sum exchange. At 100 TB the groupby key would be a
+    128-bit content hash of the chunk instead of the string (collision-safe,
+    ~10× less shuffle volume); the string key is kept here so the DuckDB
+    oracle can verify exact semantics."""
+    CHUNK = 16
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        keep = pc.not_equal(trimmed, "")
+        doc = t["doc_id"].filter(keep)
+        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+        flat = pc.list_flatten(toks)
+        rep = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos_in_doc = np.arange(len(rep)) - starts[rep]
+        chunk_key = pos_in_doc // CHUNK
+        df = pd.DataFrame(
+            {
+                "doc_id": doc.to_numpy(zero_copy_only=False)[rep],
+                "k": chunk_key,
+                "tok": flat.to_pylist(),
+            }
+        )
+        g = df.groupby(["doc_id", "k"], sort=True)["tok"].agg(" ".join).reset_index()
+        # per-batch partial combiner: one row per distinct chunk
+        p = g.groupby("tok").agg(owner=("doc_id", "min"), n=("doc_id", "size")).reset_index()
+        return pa.table(
+            {
+                "chunk": pa.array(p["tok"], pa.string()),
+                "owner_partial": pa.array(p["owner"], pa.int64()),
+                "n_partial": pa.array(p["n"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(chunks, **_PA)
+        .groupby("chunk")
+        .aggregate(Min("owner_partial", alias_name="owner_doc"), Sum("n_partial", alias_name="n_copies"))
+    )
+    return out
+
+
 def q_embedding_dedup_groups(sf_dir: str):
     """Near-dup cluster canonicalization: connected components over the
     embedding near-dup graph (label-blocked cosine ≥ 0.3), every vector
@@ -1005,6 +1122,8 @@ QUERIES = {
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "sample_split": q_sample_split,
     "top_terms": q_top_terms,
+    "length_filter": q_length_filter,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 ORACLE_SQL = {
@@ -1171,6 +1290,40 @@ ORACLE_SQL = {
                     WHEN frac < 0.9 THEN 'val'
                     ELSE 'test' END AS split
         FROM keyed
+    """,
+    "length_filter": """
+        WITH n_t AS (
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS r,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM n_t
+        ), bounds AS (
+            SELECT lang,
+                   max(CASE WHEN r = (cnt - 1) // 10 THEN n_tokens END) AS lo,
+                   max(CASE WHEN r = (9 * (cnt - 1)) // 10 THEN n_tokens END) AS hi
+            FROM ranked GROUP BY lang
+        )
+        SELECT t.doc_id, t.lang, t.n_tokens
+        FROM n_t t JOIN bounds b USING (lang)
+        WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+    """,
+    "chunk_dedup": """
+        WITH s AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS k
+            FROM s
+        )
+        SELECT array_to_string(list_slice(toks, k * 16 + 1, k * 16 + 16), ' ') AS chunk,
+               min(doc_id) AS owner_doc,
+               count(*) AS n_copies
+        FROM c GROUP BY chunk
     """,
     "top_terms": """
         WITH toks AS (
