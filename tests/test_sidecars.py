@@ -152,3 +152,53 @@ class TestWaveDoneUrls:
             assert got == sorted(want)
             if wave <= 1:
                 assert got, f"wave {wave} produced no DONE urls — degenerate fixture"
+
+
+class TestIoPathSidecars:
+    """The io path maintains the same sidecar invariant: CommitPartition
+    (not the claim task) writes the status commit there, reloading the
+    previous sidecar instead of receiving the claim's candidate load."""
+
+    def test_io_crawl_wait_sidecar_matches_fold(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from cloud_crawler_ray.pipelines.api import build_pipeline
+
+        def make_io_pipeline():
+            class IoFetcher:  # not light: drives FetchHostGroup + CommitPartition
+                def __call__(self, url, url_hash, attempt, try_idx, ua):
+                    return ("ok", b"B") if url_hash % 5 else ("io_error", None)
+
+            class IoParser:
+                def __init__(self, cfg):
+                    self.cfg = cfg
+
+                def __call__(self, url, url_hash, body):
+                    return sw.out_links(url, int(url_hash), self.cfg), None
+
+            def sink(t: pa.Table) -> pa.Table:
+                return pa.table({"url_hash": t["url_hash"]})
+
+            return build_pipeline("io-side", IoFetcher(), parser=IoParser(CFG), save_parsed=sink)
+
+        eng = CrawlEngine.start(
+            str(tmp_path / "io"), CFG, num_partitions=P, num_shards=S,
+            wave_cap_per_partition=K, compact_files=3, pipeline=make_io_pipeline(),
+        )
+        try:
+            eng.run(max_waves=5)
+            for pid, paths in eng.frontier.partition_files().items():
+                info = fsrc.load_wait_candidates(paths)
+                assert info is not None
+                cand, _, n_rows = info
+                full = fsrc.fold_paths(paths, columns=["url_hash", "status", "attempt"])
+                assert n_rows == full.num_rows
+                st = cand["status"].to_numpy()
+                cuh = np.sort(cand["url_hash"].to_numpy().astype(np.uint64)[st == sem.WAIT])
+                fuh = np.sort(
+                    full.filter(pa.compute.equal(full["status"], sem.WAIT))["url_hash"]
+                    .to_numpy().astype(np.uint64)
+                )
+                assert np.array_equal(cuh, fuh)
+        finally:
+            eng.shutdown_shards()
