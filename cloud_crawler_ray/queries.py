@@ -990,6 +990,39 @@ def q_length_filter(sf_dir: str):
     return counted.map_batches(Filt, concurrency=_pool(), **_PA)
 
 
+def q_repetition_score(sf_dir: str):
+    """Within-document trigram repetition ratio — the Gopher-style "repeated
+    n-gram" quality rule: 1 − distinct_trigrams / total_trigrams per doc
+    (0.0 for docs with fewer than 3 tokens).
+
+    A doc-local metric: pure vectorized map_batches (token explode + object
+    -array string concat for the trigrams + a per-batch pandas groupby) —
+    zero shuffles, embarrassingly parallel at any corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
+        ratios = np.zeros(t.num_rows, np.float64)
+        if len(flat):
+            rep_idx = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(len(flat)) - starts[rep_idx]
+            valid = np.flatnonzero(pos <= counts[rep_idx] - 3)
+            if len(valid):
+                tg = flat[valid] + " " + flat[valid + 1] + " " + flat[valid + 2]
+                df = pd.DataFrame({"d": rep_idx[valid], "tg": tg})
+                agg = df.groupby("d")["tg"].agg(total="size", dist="nunique")
+                ratios[agg.index.to_numpy()] = np.round(
+                    1.0 - agg["dist"].to_numpy() / agg["total"].to_numpy().astype(np.float64), 6
+                )
+        return pa.table({"doc_id": t["doc_id"], "rep_ratio": pa.array(ratios, pa.float64())})
+
+    return ds.map_batches(rep, **_PA)
+
+
 def q_chunk_dedup(sf_dir: str):
     """Token-chunk exact dedup — the substring-granularity dedup staple:
     split each document into consecutive 16-token chunks, keep-first per
@@ -1124,6 +1157,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "length_filter": q_length_filter,
     "chunk_dedup": q_chunk_dedup,
+    "repetition_score": q_repetition_score,
 }
 
 ORACLE_SQL = {
@@ -1310,6 +1344,23 @@ ORACLE_SQL = {
         SELECT t.doc_id, t.lang, t.n_tokens
         FROM n_t t JOIN bounds b USING (lang)
         WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+    """,
+    "repetition_score": """
+        WITH s AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+            FROM s WHERE len(toks) >= 3
+        ), tri AS (
+            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS tg FROM g
+        ), agg AS (
+            SELECT doc_id, count(*) AS total, count(DISTINCT tg) AS dist FROM tri GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN agg.total IS NULL THEN 0.0
+                    ELSE round(1.0 - agg.dist / CAST(agg.total AS DOUBLE), 6) END AS rep_ratio
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """,
     "chunk_dedup": """
         WITH s AS (
