@@ -990,6 +990,29 @@ def q_length_filter(sf_dir: str):
     return counted.map_batches(Filt, concurrency=_pool(), **_PA)
 
 
+def q_hash_sample(sf_dir: str):
+    """Uniform 100-doc sample via bottom-k-by-PRF — the distributed
+    sampling pattern that needs no RNG state: rank docs by a Knuth
+    multiplicative hash of doc_id and keep the k smallest. Deterministic,
+    cluster-size invariant, and mergeable (each batch keeps its local
+    bottom-k; the global sort+limit merges) — unlike reservoir sampling,
+    which needs coordinated randomness. Same overflow-free key as
+    sample_split so the oracle is exact."""
+    k = 100
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        out = pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "sample_key": pa.array(key.astype(np.int64), pa.int64())}
+        )
+        order = pc.sort_indices(out, sort_keys=[("sample_key", "ascending"), ("doc_id", "ascending")])
+        return out.take(order[:k])
+
+    return ds.map_batches(local_bottomk, **_PA).sort(["sample_key", "doc_id"]).limit(k)
+
+
 def q_repetition_score(sf_dir: str):
     """Within-document trigram repetition ratio — the Gopher-style "repeated
     n-gram" quality rule: 1 − distinct_trigrams / total_trigrams per doc
@@ -1158,6 +1181,7 @@ QUERIES = {
     "length_filter": q_length_filter,
     "chunk_dedup": q_chunk_dedup,
     "repetition_score": q_repetition_score,
+    "hash_sample": q_hash_sample,
 }
 
 ORACLE_SQL = {
@@ -1344,6 +1368,14 @@ ORACLE_SQL = {
         SELECT t.doc_id, t.lang, t.n_tokens
         FROM n_t t JOIN bounds b USING (lang)
         WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+    """,
+    "hash_sample": """
+        SELECT doc_id, lang,
+               CAST(((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                     % 4294967296) AS BIGINT) AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT 100
     """,
     "repetition_score": """
         WITH s AS (
