@@ -1867,10 +1867,52 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate p50/p90/p99 of event values via the deterministic
+    mergeable quantile sketch (functions/sketches.py QuantileSketch) — the
+    percentile analog of the HLL pattern: one small sketch per batch, one
+    associative merge in a reduce task, no sort/shuffle of raw values.
+    Rows-only — the rank-error band vs exact quantiles is unit-tested."""
+    from .functions.sketches import QuantileSketch
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        s = QuantileSketch().add_many(t["value"].to_numpy())
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    def merge_all(t: pa.Table) -> pa.Table:
+        merged = None
+        for blob in t["sketch"].to_pylist():
+            s = QuantileSketch.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+        if merged is None:
+            return pa.table({"sketch": pa.array([], pa.binary())})
+        return pa.table({"sketch": pa.array([merged.serialize()], pa.binary())})
+
+    rows = (
+        ds.map_batches(sketch, **_PA)
+        .repartition(1)
+        .map_batches(merge_all, batch_size=None, **_PA)
+        .take_all()
+    )
+    if not rows:
+        return pa.table({"p50": pa.array([], pa.float64())})
+    m = QuantileSketch.deserialize(rows[0]["sketch"])
+    return pa.table(
+        {
+            "p50": pa.array([m.quantile(0.5)], pa.float64()),
+            "p90": pa.array([m.quantile(0.9)], pa.float64()),
+            "p99": pa.array([m.quantile(0.99)], pa.float64()),
+        }
+    )
+
+
 QUERIES.update(
     {
         "bucketed_join": q_bucketed_join,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_quantiles": q_approx_quantiles,
     }
 )
 

@@ -27,3 +27,61 @@ def test_serialize_roundtrip():
     h = HyperLogLog().add_many(np.arange(1000, dtype=np.uint64))
     h2 = HyperLogLog.deserialize(h.serialize())
     assert h2.estimate() == h.estimate()
+
+
+class TestQuantileSketch:
+    def test_rank_error_band_under_distributed_merge(self):
+        import numpy as np
+
+        from cloud_crawler_ray.functions.sketches import QuantileSketch
+
+        rng = np.random.default_rng(0)
+        for data in (
+            rng.uniform(0, 1, 200_000),
+            rng.lognormal(0, 2, 200_000),
+            np.arange(150_000, dtype=float),          # sorted adversary
+            np.arange(150_000, dtype=float)[::-1].copy(),
+        ):
+            parts = np.array_split(data, 64)  # the per-batch sketch shape
+            merged = None
+            for p in parts:
+                s = QuantileSketch().add_many(p)
+                s = QuantileSketch.deserialize(s.serialize())  # wire round-trip
+                merged = s if merged is None else merged.merge(s)
+            srt = np.sort(data)
+            for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+                est = merged.quantile(q)
+                rank = np.searchsorted(srt, est, side="right") / len(srt)
+                assert abs(rank - q) < 0.01, f"rank error {abs(rank-q):.4f} at q={q}"
+            assert abs(merged.count() - len(data)) / len(data) < 0.01
+
+    def test_deterministic_across_runs(self):
+        import numpy as np
+
+        from cloud_crawler_ray.functions.sketches import QuantileSketch
+
+        rng = np.random.default_rng(7)
+        data = rng.normal(size=100_000)
+        a = QuantileSketch().add_many(data)
+        b = QuantileSketch().add_many(data)
+        assert a.serialize() == b.serialize()
+
+    def test_approx_quantiles_query(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from cloud_crawler_ray import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        t = q.QUERIES["approx_quantiles"](sf)
+        con = duckdb.connect()
+        exact = con.execute(
+            f"SELECT quantile_disc(value, [0.5, 0.9, 0.99]) FROM read_parquet('{sf}/events.parquet')"
+        ).fetchone()[0]
+        vals = con.execute(
+            f"SELECT value FROM read_parquet('{sf}/events.parquet') ORDER BY value"
+        ).df()["value"].to_numpy()
+        for col, qq, ex in zip(("p50", "p90", "p99"), (0.5, 0.9, 0.99), exact):
+            est = t[col][0].as_py()
+            rank = np.searchsorted(vals, est, side="right") / len(vals)
+            assert abs(rank - qq) < 0.02, f"{col}: rank {rank:.3f} vs {qq}"
