@@ -949,9 +949,15 @@ def q_length_filter(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": n})
 
     counted = ds.map_batches(count_tokens, **_PA).materialize()
+    return _decile_band_filter(counted)
+
+
+def _decile_band_filter(counted):
+    """Keep rows inside each lang's [p10, p90] nearest-rank token band:
+    histogram partial agg → KB-sized bounds table → broadcast filter."""
 
     def partial_hist(t: pa.Table) -> pa.Table:
-        g = t.group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+        g = t.select(["lang", "n_tokens"]).group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
         return g.rename_columns(["lang", "n_tokens", "partial"])
 
     hist = (
@@ -988,6 +994,75 @@ def q_length_filter(sf_dir: str):
             return t.filter(pa.array((n >= lo) & (n <= hi)))
 
     return counted.map_batches(Filt, concurrency=_pool(), **_PA)
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The composed end-to-end curation flagship — the pipeline a
+    training-data user actually runs, built from this module's operators:
+
+        token count → per-lang decile length band (nearest-rank, exact)
+        → trigram-repetition gate (rep_ratio ≤ 0.05, doc-local)
+        → exact text dedup (keep min doc_id per identical text)
+        → deterministic train/val/test split
+
+    Shape: two vectorized map_batches (count+rep are doc-local), one
+    KB-sized histogram aggregate for the bounds, ONE text-keyed groupby for
+    the dedup (at 100 TB the key would be a 128-bit content hash — string
+    keys kept so the DuckDB oracle verifies exact semantics end to end),
+    split assignment as a pure map. Output (doc_id, lang, n_tokens, split).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "text": t["text"], "n_tokens": n})
+
+    counted = ds.map_batches(count_tokens, **_PA).materialize()
+    banded = _decile_band_filter(counted)
+
+    def rep_gate(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        counts = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
+        ratios = np.zeros(t.num_rows, np.float64)
+        if len(flat):
+            rep_idx = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(len(flat)) - starts[rep_idx]
+            valid = np.flatnonzero(pos <= counts[rep_idx] - 3)
+            if len(valid):
+                tg = flat[valid] + " " + flat[valid + 1] + " " + flat[valid + 2]
+                df = pd.DataFrame({"d": rep_idx[valid], "tg": tg})
+                agg = df.groupby("d")["tg"].agg(total="size", dist="nunique")
+                ratios[agg.index.to_numpy()] = 1.0 - agg["dist"].to_numpy() / agg["total"].to_numpy().astype(np.float64)
+        return t.filter(pa.array(ratios <= 0.05))
+
+    qual = banded.map_batches(rep_gate, **_PA)
+
+    def keep_min_doc(g: pa.Table) -> pa.Table:
+        i = pc.index(g["doc_id"], pc.min(g["doc_id"]).as_py()).as_py()
+        return g.slice(i, 1)
+
+    surv = qual.groupby("text").map_groups(keep_min_doc, batch_format="pyarrow")
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        frac = key / 4294967296.0
+        s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"],
+                "split": pa.array(s.tolist(), pa.string()),
+            }
+        )
+
+    return surv.map_batches(assign_split, **_PA)
 
 
 def q_hash_sample(sf_dir: str):
@@ -1182,6 +1257,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "repetition_score": q_repetition_score,
     "hash_sample": q_hash_sample,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -1368,6 +1444,51 @@ ORACLE_SQL = {
         SELECT t.doc_id, t.lang, t.n_tokens
         FROM n_t t JOIN bounds b USING (lang)
         WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+    """,
+    "curation_pipeline": """
+        WITH n_t AS (
+            SELECT doc_id, lang, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS r,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM n_t
+        ), bounds AS (
+            SELECT lang, max(CASE WHEN r = (cnt - 1) // 10 THEN n_tokens END) AS lo,
+                   max(CASE WHEN r = (9 * (cnt - 1)) // 10 THEN n_tokens END) AS hi
+            FROM ranked GROUP BY lang
+        ), len_ok AS (
+            SELECT t.doc_id, t.lang, t.text, t.n_tokens
+            FROM n_t t JOIN bounds b USING (lang)
+            WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+        ), s AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM len_ok WHERE len(trim(text)) > 0
+        ), g AS (
+            SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i FROM s WHERE len(toks) >= 3
+        ), tri AS (
+            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS tg FROM g
+        ), rep AS (
+            SELECT doc_id, 1.0 - count(DISTINCT tg) / CAST(count(*) AS DOUBLE) AS rr
+            FROM tri GROUP BY doc_id
+        ), qual AS (
+            SELECT l.* FROM len_ok l LEFT JOIN rep USING (doc_id)
+            WHERE coalesce(rep.rr, 0.0) <= 0.05
+        ), dedup AS (
+            SELECT min(doc_id) AS doc_id FROM qual GROUP BY text
+        ), keyed AS (
+            SELECT q.doc_id, q.lang, q.n_tokens,
+                   ((CAST(q.doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                    % 4294967296) / 4294967296.0 AS frac
+            FROM qual q JOIN dedup USING (doc_id)
+        )
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
     """,
     "hash_sample": """
         SELECT doc_id, lang,
