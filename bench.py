@@ -101,14 +101,45 @@ def run_crawl(num_cpus: int) -> dict:
     done = sum(m["done"] for m in r["metrics"])
     new = sum(m["new"] for m in r["metrics"])
     # digest of (crawl order, URL-seen set): the scaling legs must agree —
-    # parallelism may change wall time, never results (north_rule)
+    # parallelism may change wall time, never results (north_rule). Both
+    # sides stream: the order via the distributed sort's batch iterator,
+    # the seen set via per-partition sorted-hash merges — the driver never
+    # holds O(fetched) or O(frontier) arrays.
     import hashlib
 
     import numpy as np
 
+    import ray
+
+    @ray.remote
+    def _partition_seen_digest(paths: list[str]) -> bytes:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        from cloud_crawler_ray.sources import frontier as _fsrc
+
+        hs = [
+            _pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy()
+            for p in _fsrc.base_paths(list(paths))
+        ]
+        merged = _np.sort(_np.concatenate(hs).astype(_np.uint64)) if hs else _np.empty(0, _np.uint64)
+        return _hl.sha256(merged.tobytes()).digest()
+
     h = hashlib.sha256()
-    h.update(eng.crawl_order()["url_hash"].to_numpy().tobytes())
-    h.update(np.sort(eng.frontier.to_arrow(columns=["url_hash"])["url_hash"].to_numpy()).tobytes())
+    for b in eng.crawl_order_ds(columns=["wave", "vtime", "url_hash"]).iter_batches(
+        batch_format="pyarrow", batch_size=65536
+    ):
+        h.update(b["url_hash"].to_numpy().tobytes())
+    part_digests = ray.get(
+        [
+            _partition_seen_digest.remote(paths)
+            for _, paths in sorted(eng.frontier.partition_files().items())
+        ]
+    )
+    for d in part_digests:  # pid order → deterministic; driver holds P digests
+        h.update(d)
     digest = h.hexdigest()[:16]
     eng.shutdown_shards()
     shutil.rmtree(root, ignore_errors=True)

@@ -623,7 +623,9 @@ class CrawlEngine:
         return pa.Table.from_pylist(rows)
 
     def crawl_order(self) -> pa.Table:
-        """Global crawl order: (wave, vtime, url_hash) sort + fetch_seq."""
+        """Global crawl order: (wave, vtime, url_hash) sort + fetch_seq —
+        driver-side Arrow table, for tests/exports at small scale. For the
+        design scale use :meth:`crawl_order_ds` and stream."""
         t = self.order.to_arrow()
         if t.num_rows == 0:
             return t
@@ -633,6 +635,14 @@ class CrawlEngine:
             )
         )
         return t.add_column(0, "fetch_seq", pa.array(np.arange(t.num_rows), pa.int64()))
+
+    def crawl_order_ds(self, columns: list[str] | None = None) -> rd.Dataset:
+        """Global crawl order as a SORTED streaming Dataset (distributed
+        sort over the order fragments; consume with iter_batches /
+        write_parquet — the driver never materializes O(fetched) rows).
+        fetch_seq is implied by the stream position."""
+        ds = self.order.to_dataset(columns=columns)
+        return ds.sort(["wave", "vtime", "url_hash"])
 
     def shutdown_shards(self) -> None:
         if self.shards:
