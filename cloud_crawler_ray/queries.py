@@ -703,9 +703,11 @@ def q_ngram_jaccard_dedup(sf_dir: str):
 def _query_vector(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = pc.index(t["vec_id"], 0).as_py()
-    return np.asarray(t["embedding"][idx].as_py(), np.float64)
+    # row-group-pruned filtered read: the driver pulls ONE row, not the table
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
+    )
+    return np.asarray(t["embedding"][0].as_py(), np.float64)
 
 
 def q_embedding_topk(sf_dir: str):
@@ -2029,11 +2031,51 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-event-type p50/p95 via partial quantile sketches — the grouped
+    version of q_approx_quantiles: each batch emits one KB sketch per
+    event_type it saw (the combiner), a groupby(event_type) merges sketches
+    per group — the exchange carries sketches, never raw values. Rows-only;
+    per-group rank-error band unit-tested."""
+    from .functions.sketches import QuantileSketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"e": t["event_type"].to_pylist(), "v": t["value"].to_numpy()})
+        types, blobs = [], []
+        for etype, g in df.groupby("e", sort=True):
+            types.append(etype)
+            blobs.append(QuantileSketch().add_many(g["v"].to_numpy()).serialize())
+        return pa.table({"event_type": pa.array(types, pa.string()), "sketch": pa.array(blobs, pa.binary())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        merged = None
+        for blob in g["sketch"].to_pylist():
+            s = QuantileSketch.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "p50": pa.array([merged.quantile(0.5)], pa.float64()),
+                "p95": pa.array([merged.quantile(0.95)], pa.float64()),
+                "n": pa.array([merged.count()], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_partial, **_PA)
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )
+
+
 QUERIES.update(
     {
         "bucketed_join": q_bucketed_join,
         "approx_distinct_users": q_approx_distinct_users,
         "approx_quantiles": q_approx_quantiles,
+        "grouped_quantiles": q_grouped_quantiles,
     }
 )
 

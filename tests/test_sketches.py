@@ -85,3 +85,23 @@ class TestQuantileSketch:
             est = t[col][0].as_py()
             rank = np.searchsorted(vals, est, side="right") / len(vals)
             assert abs(rank - qq) < 0.02, f"{col}: rank {rank:.3f} vs {qq}"
+
+    def test_grouped_quantiles_query(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from cloud_crawler_ray import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        t = q.QUERIES["grouped_quantiles"](sf).to_pandas().set_index("event_type")
+        con = duckdb.connect()
+        df = con.execute(
+            f"SELECT event_type, value FROM read_parquet('{sf}/events.parquet')"
+        ).df()
+        for etype, g in df.groupby("event_type"):
+            vals = np.sort(g["value"].to_numpy())
+            for col, qq in (("p50", 0.5), ("p95", 0.95)):
+                est = t.loc[etype, col]
+                rank = np.searchsorted(vals, est, side="right") / len(vals)
+                assert abs(rank - qq) < 0.02, f"{etype}/{col}: rank {rank:.3f}"
+            assert abs(t.loc[etype, "n"] - len(vals)) / len(vals) < 0.01
