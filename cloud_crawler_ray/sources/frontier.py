@@ -71,13 +71,15 @@ DELTA_SCHEMA = pa.schema(
 #
 # Two per-partition index files bound the engine's steady-state reads:
 #
-#   wait{N}.parquet — the WAIT backlog as of status commit N: (row_idx,
-#     url_hash, priority, attempt) of every claimable row. The claim stage
-#     reads THIS instead of folding the partition's light columns, so claim
-#     cost is O(WAIT backlog + files appended since N), not O(frontier/P).
-#     Maintained incrementally: each status commit applies its O(wave) delta
-#     to the previous sidecar (MongoQueueTaskProvider.scala:33-48's
-#     status-filtered scan is what this file is the index of).
+#   wait{N}.parquet — the WAIT backlog as of initialize/compaction N:
+#     (row_idx, url_hash, priority, attempt) of every claimable row. The
+#     claim stage reads THIS instead of folding the partition's light
+#     columns, then scatters the manifest's del* files on top (each O(wave),
+#     at most compact_files of them) — so claim cost is
+#     O(backlog-at-compaction + compact_files · wave), not O(frontier/P),
+#     and a status commit writes only its del file, never the backlog
+#     (MongoQueueTaskProvider.scala:33-48's status-filtered scan is what
+#     this file is the index of).
 #
 #   keys{N}.parquet — ALL committed url_hash values sorted, with their global
 #     row_idx. Written only at initialize/compaction (when the full table is
@@ -135,21 +137,10 @@ def _commit_idx(name: str) -> int | None:
     return None
 
 
-def latest_sidecar_idx(paths: list[str]) -> int:
-    """Index of the newest sidecar the manifest's file list implies: every
-    status commit N leaves a del{N} (or, on compaction, v{N}) in the list
-    and wrote wait{N} alongside; initialize wrote wait00000/keys00000."""
-    best = 0
-    for p in paths:
-        i = _commit_idx(_name(p))
-        if i is not None and i > best:
-            best = i
-    return best
-
-
 def latest_keys_idx(paths: list[str]) -> int:
-    """keys* sidecars are only written at initialize (0) and compaction (the
-    v{N} rewrite), so the newest is keyed by the newest non-seed v* file."""
+    """wait*/keys* sidecars are only written at initialize (0) and
+    compaction (the v{N} rewrite), so the newest is keyed by the newest
+    non-seed v* file."""
     best = 0
     for p in paths:
         name = _name(p)
@@ -192,19 +183,21 @@ def _uncovered(paths: list[str], covered: list[str]) -> list[str] | None:
 def load_wait_candidates(
     paths: list[str], filesystem=None
 ) -> tuple[pa.Table, list[str], int] | None:
-    """Claim candidates for one partition in O(backlog + appended files).
+    """Claim candidates for one partition in O(backlog + wave-sized files).
 
     Returns (cand, covered_now, n_rows_now) where cand has columns
     (row_idx, url_hash, priority, status, attempt) holding every row whose
-    status could be claimable — the wait sidecar's rows (status WAIT by
-    construction) plus all rows of base files appended since it was written
-    (ins*/push*, whose rows are WAIT by construction but are read with their
-    real columns). covered_now/n_rows_now describe the partition's CURRENT
-    base files — what a subsequent sidecar write should record. None → no
-    usable sidecar (fall back to fold_candidates)."""
+    status could be claimable: the wait sidecar (written only at
+    initialize/compaction — the WAIT set as of that commit) plus all rows
+    of base files appended since (ins*/push*), with every ``del*`` delta in
+    the manifest scattered on top in wave order. The dels ARE the sidecar's
+    incremental maintenance — status commits never rewrite the backlog, so
+    a wave writes O(wave) bytes and the claim reads
+    O(backlog-at-compaction + compact_files · wave). None → no usable
+    sidecar (fall back to fold_candidates)."""
     from ..pipelines import semantics as sem
 
-    idx = latest_sidecar_idx(paths)
+    idx = latest_keys_idx(paths)  # wait* and keys* share the init/compaction cadence
     got = _read_sidecar(sidecar_path(paths, "wait", idx), filesystem)
     if got is None:
         return None
@@ -240,7 +233,24 @@ def load_wait_candidates(
         )
         offset += t.num_rows
         covered_now.append(_name(p))
-    return pa.concat_tables(parts).combine_chunks(), covered_now, offset
+    cand = pa.concat_tables(parts).combine_chunks()
+    deltas = [p for p in paths if is_delta(p)]
+    if deltas:
+        uh = cand["url_hash"].to_numpy().astype(np.uint64)
+        order = np.argsort(uh, kind="stable")
+        sorted_uh = uh[order]
+        status = cand["status"].to_numpy().copy()
+        attempt = cand["attempt"].to_numpy().copy()
+        for dp in deltas:  # manifest list order == wave order (last writer wins)
+            d = pq.read_table(dp, filesystem=filesystem)
+            pos = scatter_positions(order, sorted_uh, d["url_hash"].to_numpy().astype(np.uint64), dp)
+            status[pos] = d["status"].to_numpy()
+            attempt[pos] = d["attempt"].to_numpy()
+        cand = cand.set_column(cand.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
+        cand = cand.set_column(
+            cand.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32())
+        )
+    return cand, covered_now, offset
 
 
 def fold_candidates(paths: list[str], filesystem=None) -> tuple[pa.Table, list[str], int]:
@@ -503,15 +513,16 @@ class FrontierStore:
         )
 
     def claim_scan_bytes(self, wave: int | None = None) -> int:
-        """Bytes the next claim will read for candidate selection: wait
-        sidecars + bases appended since (bench evidence that the claim scan
-        is O(WAIT backlog), not O(frontier); falls back to all base bytes
-        for partitions without a sidecar)."""
+        """Bytes the next claim will read for candidate selection: the wait
+        sidecar (as of the last compaction) + bases appended since + the
+        manifest's del files (bench evidence that the claim scan is
+        O(backlog + wave-sized files), not O(frontier); falls back to all
+        base bytes for partitions without a sidecar)."""
         import json as _json
 
         total = 0
         for _, paths in self.partition_files(wave).items():
-            wp = sidecar_path(paths, "wait", latest_sidecar_idx(paths))
+            wp = sidecar_path(paths, "wait", latest_keys_idx(paths))
             try:  # footer-only read: covered list lives in the schema metadata
                 meta = (pq.read_schema(wp, filesystem=self.fs).metadata or {}).get(_SIDECAR_META)
             except (FileNotFoundError, OSError):
@@ -521,9 +532,10 @@ class FrontierStore:
             )
             if meta is None or new_files is None:
                 total += sum(file_size(self.fs, p) for p in base_paths(paths))
-                continue
-            total += file_size(self.fs, wp)
-            total += sum(file_size(self.fs, p) for p in new_files)
+            else:
+                total += file_size(self.fs, wp)
+                total += sum(file_size(self.fs, p) for p in new_files)
+            total += sum(file_size(self.fs, p) for p in paths if is_delta(p))
         return total
 
     @classmethod

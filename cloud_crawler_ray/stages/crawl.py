@@ -194,17 +194,16 @@ def commit_status_files(
     order_path: str,
     compact_files: int,
     cfg: sw.WebConfig,
-    cand_info: tuple | None = None,
 ) -> tuple[str, str, str, int]:
     """Write one partition's wave-status commit: the ``del*`` file (or, when
     the file list is long, the folded+consolidated ``v*`` main — amortized
-    compaction) plus the updated WAIT-backlog sidecar (claim's O(backlog)
-    index, VERDICT r2 #1), the sorted-keys sidecar on compaction, and the
-    crawl-order fragment with the deterministic UA column. Shared by the
-    light path (runs inside the claim task — zero exchanges, like the fused
-    r1 design) and the io path (runs inside the CommitPartition group task).
-    ``cand_info`` is the claim's (candidates, covered, n_rows) load, passed
-    through on the light path to avoid a second sidecar read.
+    compaction, which also rebuilds the WAIT-backlog and sorted-keys
+    sidecars) plus the crawl-order fragment with the deterministic UA
+    column. The dels double as the wait sidecar's incremental maintenance
+    (load_wait_candidates scatters them at claim time), so a status commit
+    writes O(wave) bytes — never the backlog. Shared by the light path
+    (runs inside the claim task — zero exchanges, like the fused r1 design)
+    and the io path (runs inside the CommitPartition group task).
     Returns (src, rel, order_rel, n_order)."""
     rows = rows.take(pc.sort_indices(rows, sort_keys=[("url_hash", "ascending")]))
     delta = pa.table({"url_hash": rows["url_hash"], "status": rows["status"], "attempt": rows["attempt"]})
@@ -250,34 +249,8 @@ def commit_status_files(
     else:
         rel = delta_rel
         src = "delta"
-        # incremental WAIT-sidecar update: previous backlog + files appended
-        # since, with this wave's O(wave) delta applied — never O(frontier)
-        info = cand_info
-        if info is None:
-            info = fsrc.load_wait_candidates(paths, filesystem=store.fs)
-        if info is None:
-            info = fsrc.fold_candidates(paths, filesystem=store.fs)
-        cand, covered_now, n_rows_now = info
-        c_uh = cand["url_hash"].to_numpy().astype(np.uint64)
-        c_order = np.argsort(c_uh, kind="stable")
-        pos = fsrc.scatter_positions(c_order, c_uh[c_order], d_uh, f"wait-sidecar p{pid}")
-        status = cand["status"].to_numpy().copy()
-        attempt = cand["attempt"].to_numpy().copy()
-        status[pos] = delta["status"].to_numpy()
-        attempt[pos] = delta["attempt"].to_numpy()
-        keep = np.flatnonzero(status == sem.WAIT)
-        store.write_wait(
-            pid,
-            pa.table(
-                {
-                    "row_idx": pa.array(cand["row_idx"].to_numpy()[keep], pa.int64()),
-                    "url_hash": pa.array(c_uh[keep], pa.uint64()),
-                    "priority": pa.array(cand["priority"].to_numpy()[keep], pa.float32()),
-                    "attempt": pa.array(attempt[keep], pa.int32()),
-                }
-            ),
-            wave + 1, covered_now, n_rows_now,
-        )
+        # no sidecar write here: the del file itself IS the wait sidecar's
+        # O(wave) incremental maintenance, applied at claim time
     forder = rows.filter(rows["fetched"])
     order_rel = ""
     if forder.num_rows:
@@ -399,8 +372,7 @@ class ClaimStage:
                 # candidates cross the wave's one shuffle, as in r1)
                 store = FrontierStore(self.frontier_path, self.P)
                 src, rel, order_rel, n_order = commit_status_files(
-                    store, pid, paths, rows, self.wave, self.order_path, self.compact_files, self.cfg,
-                    cand_info=info,
+                    store, pid, paths, rows, self.wave, self.order_path, self.compact_files, self.cfg
                 )
                 out.append(_marker_row(pid, src, rel, order_rel, n_order, rows.num_rows))
         return pa.concat_tables(out) if out else _empty_fetch_out()
