@@ -202,3 +202,44 @@ class TestIoPathSidecars:
                 assert np.array_equal(cuh, fuh)
         finally:
             eng.shutdown_shards()
+
+
+class TestSidecarFallbacks:
+    def test_store_without_sidecars_crawls_identically_and_heals(self, ray_session, tmp_path):
+        """Deleting every wait*/keys* file (a pre-round-3 store, or sidecar
+        loss) must not change ANY crawl result: claims fall back to the full
+        light-column fold, confirms to the full hash scan, and the next
+        compaction rewrites both sidecars (self-healing)."""
+        import glob
+        import os
+
+        cfg = sw.WebConfig(n_hosts=8, pages_per_host=50, n_seed_hosts=5, max_links=3, seed=9)
+        ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+        ea = CrawlEngine.start(ra, cfg, num_partitions=2, num_shards=1,
+                               wave_cap_per_partition=15, compact_files=3)
+        eb = CrawlEngine.start(rb, cfg, num_partitions=2, num_shards=1,
+                               wave_cap_per_partition=15, compact_files=3)
+        try:
+            ea.run(max_waves=2)
+            eb.run(max_waves=2)
+            ea.shutdown_shards()
+            # simulate sidecar loss on A only
+            lost = glob.glob(os.path.join(ra, "frontier", "p*", "wait*.parquet")) + glob.glob(
+                os.path.join(ra, "frontier", "p*", "keys*.parquet")
+            )
+            assert lost, "fixture produced no sidecars"
+            for f in lost:
+                os.remove(f)
+            ea2 = CrawlEngine.resume(ra)
+            ea2.run(max_waves=6)
+            eb.run(max_waves=6)
+            fa = ea2.frontier.to_arrow().sort_by("url_hash")
+            fb = eb.frontier.to_arrow().sort_by("url_hash")
+            assert fa.equals(fb)
+            assert ea2.crawl_order().equals(eb.crawl_order())
+            # compaction (compact_files=3 over 6 waves) re-wrote the sidecars
+            healed = glob.glob(os.path.join(ra, "frontier", "p*", "wait*.parquet"))
+            assert healed, "compaction did not heal the wait sidecars"
+            ea2.shutdown_shards()
+        finally:
+            eb.shutdown_shards()
