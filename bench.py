@@ -112,7 +112,7 @@ def run_crawl(num_cpus: int) -> dict:
     import ray
 
     @ray.remote
-    def _partition_seen_digest(paths: list[str]) -> bytes:
+    def _partition_seen_digest(paths: list[str], filesystem=None) -> bytes:
         import hashlib as _hl
 
         import numpy as _np
@@ -121,20 +121,30 @@ def run_crawl(num_cpus: int) -> dict:
         from cloud_crawler_ray.sources import frontier as _fsrc
 
         hs = [
-            _pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy()
+            _pq.read_table(p, columns=["url_hash"], filesystem=filesystem)["url_hash"].to_numpy()
             for p in _fsrc.base_paths(list(paths))
         ]
         merged = _np.sort(_np.concatenate(hs).astype(_np.uint64)) if hs else _np.empty(0, _np.uint64)
         return _hl.sha256(merged.tobytes()).digest()
 
     h = hashlib.sha256()
-    for b in eng.crawl_order_ds(columns=["wave", "vtime", "url_hash"]).iter_batches(
-        batch_format="pyarrow", batch_size=65536
-    ):
-        h.update(b["url_hash"].to_numpy().tobytes())
+    # iteration order must equal the sort order for the digest to be
+    # leg-comparable — Ray Data only guarantees that with preserve_order
+    import ray.data as _rd
+
+    _opts = _rd.DataContext.get_current().execution_options
+    _saved_po = _opts.preserve_order
+    _opts.preserve_order = True
+    try:
+        for b in eng.crawl_order_ds(columns=["wave", "vtime", "url_hash"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            h.update(b["url_hash"].to_numpy().tobytes())
+    finally:
+        _opts.preserve_order = _saved_po
     part_digests = ray.get(
         [
-            _partition_seen_digest.remote(paths)
+            _partition_seen_digest.remote(paths, eng.frontier.fs)
             for _, paths in sorted(eng.frontier.partition_files().items())
         ]
     )

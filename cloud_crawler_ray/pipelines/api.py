@@ -100,8 +100,9 @@ class CrawlPipeline:
         body), so a raising parser routes its row to PARSE_FAILED *before*
         the status delta is committed — the same ParsingException →
         taskParsingFailed contract as the io path
-        (TasksBatchController.scala:152-158)."""
-        return self.parser is not None and not isinstance(self.parser, sw.SyntheticWebParser)
+        (TasksBatchController.scala:152-158). Exact-type check: a SUBCLASS
+        of SyntheticWebParser is user code and gets the user contract."""
+        return self.parser is not None and type(self.parser) is not sw.SyntheticWebParser
 
 
 def synthetic_pipeline(cfg: sw.WebConfig) -> CrawlPipeline:

@@ -151,33 +151,6 @@ def fetch_host_wave(
         def try_fetch(i: int, try_idx: int):
             return fetcher(url[i], int(url_hash[i]), int(attempt[i]), try_idx, uas[i])
 
-        if cfg.fetch_timeout_sec is not None:
-            # straggler kill for a HUNG custom fetcher: the call runs in a
-            # daemon thread; expiry is routed as io_error so the existing
-            # in-wave retry / attempt-cap machinery applies (the per-call
-            # half of WorkerManager.scala:85-96's batchExecutionTimeout)
-            import threading
-
-            inner_fetch = try_fetch
-
-            def try_fetch(i: int, try_idx: int):
-                out: dict = {}
-
-                def run():
-                    try:
-                        out["r"] = inner_fetch(i, try_idx)
-                    except Exception as e:  # propagate user errors unchanged
-                        out["e"] = e
-
-                th = threading.Thread(target=run, daemon=True)
-                th.start()
-                th.join(cfg.fetch_timeout_sec)
-                if th.is_alive():
-                    return "io_error", None  # hung call abandoned (daemon thread)
-                if "e" in out:
-                    raise out["e"]
-                return out["r"]
-
     if parser is not None:
 
         def parse_row(i: int, body):
@@ -195,10 +168,43 @@ def fetch_host_wave(
     tripped = False  # circuit breaker (NoResourcesAvailable analog)
     consec_io = 0
     budget = cfg.batch_timeout_sec
-    if budget is not None:
+    # straggler kill (WorkerManager.scala:85-96 batchExecutionTimeout):
+    # custom fetcher calls run under a wall-clock limit whenever EITHER knob
+    # is set — per-call fetch_timeout_sec, clamped by the host-group
+    # budget's remaining time, so batch_timeout_sec alone still interrupts
+    # a call that hangs mid-flight (not just between rows)
+    use_call_timeout = not synthetic and (cfg.fetch_timeout_sec is not None or budget is not None)
+    if budget is not None or use_call_timeout:
         import time as _time
 
         t_start = _time.monotonic()
+    if use_call_timeout:
+        import threading
+
+        def timed_fetch(i: int, try_idx: int, limit: float | None):
+            """(kind, body, timed_out) — runs the user fetcher in a daemon
+            thread and abandons it past ``limit`` (the thread is leaked by
+            design; the caller stops retrying the row after the first
+            timeout, bounding leaks to one thread per hung row)."""
+            if limit is not None and limit <= 0:
+                return "io_error", None, True
+            out: dict = {}
+
+            def run():
+                try:
+                    out["r"] = try_fetch(i, try_idx)
+                except Exception as e:  # propagate user errors unchanged
+                    out["e"] = e
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(limit)
+            if th.is_alive():
+                return "io_error", None, True
+            if "e" in out:
+                raise out["e"]
+            kind, body = out["r"]
+            return kind, body, False
 
     for i in range(n):  # host rows are politeness-serialized by design
         if budget is not None and _time.monotonic() - t_start >= budget:
@@ -213,13 +219,34 @@ def fetch_host_wave(
             continue
         first_t = -1
         res, body = "io_error", None
+        budget_killed = False
         for try_idx in range(cfg.in_wave_tries):
             t = int(bucket.schedule(1)[0])
             if first_t < 0:
                 first_t = t
-            res, body = try_fetch(i, try_idx)
+            if use_call_timeout:
+                # binding limit: per-call fetch timeout, clamped by the host
+                # group's remaining wall budget
+                limit = cfg.fetch_timeout_sec
+                budget_bound = False
+                if budget is not None:
+                    remaining = budget - (_time.monotonic() - t_start)
+                    if limit is None or remaining < limit:
+                        limit, budget_bound = remaining, True
+                res, body, timed_out = timed_fetch(i, try_idx, limit)
+                if timed_out:
+                    # fetch-timeout expiry → io_error routing (request
+                    # timeout); budget expiry → forcedStop: the in-flight
+                    # row returns to the queue untouched. Either way stop
+                    # retrying (don't re-hang / leak more threads).
+                    budget_killed = budget_bound
+                    break
+            else:
+                res, body = try_fetch(i, try_idx)
             if res != "io_error":
                 break
+        if budget_killed:
+            break  # returnToQueue: row stays WAIT, attempt/vtime untouched
         vtime[i] = first_t
         fetched[i] = True
         if res == "ok":

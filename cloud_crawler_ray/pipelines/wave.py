@@ -122,17 +122,22 @@ def _as_commit_cand(t: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _bootstrap_partition(paths: list[str], shards: list, num_shards: int) -> int:
+def _bootstrap_partition(paths: list[str], shards: list, num_shards: int, filesystem=None) -> int:
     """Feed one frontier partition's committed url_hash values to the dedup
     shard actors — runs as a Ray task so the driver never holds frontier
     hashes (VERDICT r2 fix #1: shard bootstrap peak memory is per-task
-    O(frontier/P), driver-side O(1))."""
+    O(frontier/P), driver-side O(1)). ``filesystem`` is the store's
+    pyarrow.fs handle (ships with the task) so custom/credentialed backends
+    keep working off-driver."""
     import pyarrow.parquet as pq
 
     from ..sources import frontier as fsrc
 
     bases = fsrc.base_paths(list(paths))
-    cols = [pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy() for p in bases]
+    cols = [
+        pq.read_table(p, columns=["url_hash"], filesystem=filesystem)["url_hash"].to_numpy()
+        for p in bases
+    ]
     if not cols:
         return 0
     h = np.concatenate(cols).astype(np.uint64)
@@ -145,38 +150,46 @@ def _bootstrap_partition(paths: list[str], shards: list, num_shards: int) -> int
 
 
 @ray.remote
-def _wave_done_partition(frontier_path: str, pid: int, paths: list[str], wave: int) -> list[str]:
+def _wave_done_partition(
+    frontier_path: str, pid: int, paths: list[str], wave: int, filesystem=None
+) -> list[str]:
     """URLs that reached DONE in ``wave`` within one partition: the wave's
     delta names the hashes (O(wave)), the sorted-keys sidecar maps hash →
     row_idx via zone-map-pruned row-group reads, and take_rows pulls just
     those rows' url column — never a full-partition url fold (VERDICT r2
-    fix #4)."""
+    fix #4). Only a genuinely MISSING delta file means "partition had no
+    status commit this wave"; any other read error propagates — swallowing
+    it would silently drop chained seeds."""
     import posixpath as pp
 
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
     from ..sources import frontier as fsrc
+    from ..sources.storage import resolve_fs
 
+    fs, root = resolve_fs(frontier_path, filesystem)
     paths = list(paths)
-    del_path = pp.join(frontier_path, f"p{pid:04d}", f"del{wave + 1:05d}.parquet")
-    try:
-        d = pq.read_table(del_path)
-    except (FileNotFoundError, OSError):
+    del_path = pp.join(root, f"p{pid:04d}", f"del{wave + 1:05d}.parquet")
+    if fs.get_file_info(del_path).type == pafs.FileType.NotFound:
         return []
+    d = pq.read_table(del_path, filesystem=fs)
     want = (
         d.filter(pc.equal(d["status"], sem.DONE))["url_hash"].to_numpy().astype(np.uint64)
     )
     if not len(want):
         return []
-    found, ridx, uncovered = fsrc.keys_lookup(paths, want)
+    found, ridx, uncovered = fsrc.keys_lookup(paths, want, filesystem=fs)
     urls: list[str] = []
     if found.any():
         idx = np.sort(ridx[found])
-        urls.extend(fsrc.take_rows(fsrc.base_paths(paths), idx, ["url"])["url"].to_pylist())
+        urls.extend(
+            fsrc.take_rows(fsrc.base_paths(paths), idx, ["url"], filesystem=fs)["url"].to_pylist()
+        )
     rest = want[~found]
     if len(rest):
         for p in uncovered:
-            t = pq.read_table(p, columns=["url", "url_hash"])
+            t = pq.read_table(p, columns=["url", "url_hash"], filesystem=fs)
             m = np.isin(t["url_hash"].to_numpy().astype(np.uint64), rest)
             if m.any():
                 urls.extend(t.filter(pa.array(m))["url"].to_pylist())
@@ -305,7 +318,7 @@ class CrawlEngine:
         cap = max(1 << 16, 4 * self.frontier_row_count())
         self.shards = [DedupShard.remote(s, capacity=cap, seed=self.cfg.seed) for s in range(self.S)]
         futs = [
-            _bootstrap_partition.remote(paths, self.shards, self.S)
+            _bootstrap_partition.remote(paths, self.shards, self.S, self.frontier.fs)
             for _, paths in sorted(self.frontier.partition_files().items())
         ]
         ray.get(futs)
@@ -363,8 +376,11 @@ class CrawlEngine:
         part_files = self.frontier.partition_files()
         old_manifest = self.frontier.manifest()
         # bench evidence for the O(backlog) claim scan (VERDICT r2 #1):
-        # bytes the claim stage will read for candidate selection this wave
-        claim_bytes = self.frontier.claim_scan_bytes()
+        # bytes the claim stage will read for candidate selection this wave.
+        # O(P) driver-side footer/stat calls, so auto-disabled for large P
+        # (at 10^4 partitions on an object store this would add seconds per
+        # wave for a metric) — claim_bytes is then reported as -1.
+        claim_bytes = self.frontier.claim_scan_bytes() if self.P <= 256 else -1
 
         # ---- execution 1: pruned per-partition claim (+ light fetch, whose
         # status delta + order fragment are written inside the claim task)
@@ -599,7 +615,7 @@ class CrawlEngine:
         indices, take_rows pulls just those url values — the full-frontier
         url fold of round 2 is gone (VERDICT r2 fix #4)."""
         futs = [
-            _wave_done_partition.remote(self.frontier.path, pid, paths, wave)
+            _wave_done_partition.remote(self.frontier.path, pid, paths, wave, self.frontier.fs)
             for pid, paths in sorted(self.frontier.partition_files(wave).items())
         ]
         urls: list[str] = []
@@ -640,7 +656,10 @@ class CrawlEngine:
         """Global crawl order as a SORTED streaming Dataset (distributed
         sort over the order fragments; consume with iter_batches /
         write_parquet — the driver never materializes O(fetched) rows).
-        fetch_seq is implied by the stream position."""
+        fetch_seq is implied by the stream position. NOTE: consumers that
+        need batches delivered in the sorted order must set
+        ``DataContext.execution_options.preserve_order = True`` — Ray
+        Data's streaming executor may otherwise yield blocks out of order."""
         ds = self.order.to_dataset(columns=columns)
         return ds.sort(["wave", "vtime", "url_hash"])
 

@@ -854,6 +854,46 @@ def q_embedding_neardup(sf_dir: str):
     return ds.groupby("label").map_groups(block, batch_format="pandas")
 
 
+def _knuth_key(ids: np.ndarray) -> np.ndarray:
+    """Overflow-free 32-bit Knuth multiplicative hash (uint64 arithmetic;
+    mirrors the UBIGINT expression in every oracle that samples/splits —
+    keep the two in lockstep)."""
+    ids = np.asarray(ids).astype(np.uint64)
+    return ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+
+
+def _token_count_array(texts) -> pa.Array:
+    """Whitespace token count per row, 0 for blank text (matches the
+    oracles' trim + string_split_regex('\\s+') expression)."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+
+
+def _trigram_ratios(texts, n_rows: int) -> np.ndarray:
+    """Per-row trigram repetition ratio 1 − distinct/total (unrounded;
+    0.0 below 3 tokens) — shared by repetition_score and the curation
+    flagship so the metric cannot drift from its oracle."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    counts = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
+    ratios = np.zeros(n_rows, np.float64)
+    if len(flat):
+        rep_idx = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(len(flat)) - starts[rep_idx]
+        valid = np.flatnonzero(pos <= counts[rep_idx] - 3)
+        if len(valid):
+            tg = flat[valid] + " " + flat[valid + 1] + " " + flat[valid + 2]
+            df = pd.DataFrame({"d": rep_idx[valid], "tg": tg})
+            agg = df.groupby("d")["tg"].agg(total="size", dist="nunique")
+            ratios[agg.index.to_numpy()] = (
+                1.0 - agg["dist"].to_numpy() / agg["total"].to_numpy().astype(np.float64)
+            )
+    return ratios
+
+
 def q_sample_split(sf_dir: str):
     """Deterministic train/val/test split — the dataset-curation staple.
 
@@ -868,9 +908,7 @@ def q_sample_split(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
     def split(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
-        frac = key / 4294967296.0
+        frac = _knuth_key(t["doc_id"].to_numpy()) / 4294967296.0
         s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
         return pa.table(
             {
@@ -945,10 +983,9 @@ def q_length_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
-        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
-        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": n})
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": _token_count_array(t["text"])}
+        )
 
     counted = ds.map_batches(count_tokens, **_PA).materialize()
     return _decile_band_filter(counted)
@@ -1016,31 +1053,20 @@ def q_curation_pipeline(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
-        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
-        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "text": t["text"], "n_tokens": n})
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "text": t["text"],
+                "n_tokens": _token_count_array(t["text"]),
+            }
+        )
 
     counted = ds.map_batches(count_tokens, **_PA).materialize()
     banded = _decile_band_filter(counted)
 
     def rep_gate(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        toks = pc.split_pattern_regex(trimmed, r"\s+")
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
-        counts = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
-        ratios = np.zeros(t.num_rows, np.float64)
-        if len(flat):
-            rep_idx = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            pos = np.arange(len(flat)) - starts[rep_idx]
-            valid = np.flatnonzero(pos <= counts[rep_idx] - 3)
-            if len(valid):
-                tg = flat[valid] + " " + flat[valid + 1] + " " + flat[valid + 2]
-                df = pd.DataFrame({"d": rep_idx[valid], "tg": tg})
-                agg = df.groupby("d")["tg"].agg(total="size", dist="nunique")
-                ratios[agg.index.to_numpy()] = 1.0 - agg["dist"].to_numpy() / agg["total"].to_numpy().astype(np.float64)
-        return t.filter(pa.array(ratios <= 0.05))
+        return t.filter(pa.array(_trigram_ratios(t["text"], t.num_rows) <= 0.05))
 
     qual = banded.map_batches(rep_gate, **_PA)
 
@@ -1051,9 +1077,7 @@ def q_curation_pipeline(sf_dir: str):
     surv = qual.groupby("text").map_groups(keep_min_doc, batch_format="pyarrow")
 
     def assign_split(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
-        frac = key / 4294967296.0
+        frac = _knuth_key(t["doc_id"].to_numpy()) / 4294967296.0
         s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
         return pa.table(
             {
@@ -1079,8 +1103,7 @@ def q_hash_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
     def local_bottomk(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy().astype(np.uint64)
-        key = ((ids % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        key = _knuth_key(t["doc_id"].to_numpy())
         out = pa.table(
             {"doc_id": t["doc_id"], "lang": t["lang"], "sample_key": pa.array(key.astype(np.int64), pa.int64())}
         )
@@ -1101,23 +1124,7 @@ def q_repetition_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def rep(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        toks = pc.split_pattern_regex(trimmed, r"\s+")
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
-        counts = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
-        ratios = np.zeros(t.num_rows, np.float64)
-        if len(flat):
-            rep_idx = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            pos = np.arange(len(flat)) - starts[rep_idx]
-            valid = np.flatnonzero(pos <= counts[rep_idx] - 3)
-            if len(valid):
-                tg = flat[valid] + " " + flat[valid + 1] + " " + flat[valid + 2]
-                df = pd.DataFrame({"d": rep_idx[valid], "tg": tg})
-                agg = df.groupby("d")["tg"].agg(total="size", dist="nunique")
-                ratios[agg.index.to_numpy()] = np.round(
-                    1.0 - agg["dist"].to_numpy() / agg["total"].to_numpy().astype(np.float64), 6
-                )
+        ratios = np.round(_trigram_ratios(t["text"], t.num_rows), 6)
         return pa.table({"doc_id": t["doc_id"], "rep_ratio": pa.array(ratios, pa.float64())})
 
     return ds.map_batches(rep, **_PA)

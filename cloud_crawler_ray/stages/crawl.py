@@ -544,11 +544,12 @@ class AttachParse:
     is the hot-domain salting for this per-row work — a hot host's pages
     are spread over ceil(done/batch_size) tasks regardless of partition.
 
-    Custom parsers never reach this stage: they run at fetch time inside
-    the claim task so a raise becomes PARSE_FAILED before the status delta
-    is committed (ADVICE r2). The try/except here is defensive only — a
-    raise after the DONE commit can no longer flip the status, so the row
-    keeps DONE with no out-links."""
+    Custom parsers (including SyntheticWebParser SUBCLASSES — user_parser
+    is an exact-type check) never reach this stage: they run at fetch time
+    inside the claim task so a raise becomes PARSE_FAILED before the status
+    delta is committed (ADVICE r2). Only the built-in PRF parser runs here;
+    it cannot raise, and if it somehow does the task fails LOUDLY — a
+    silent empty-links substitution would truncate the crawl undetectably."""
 
     def __init__(self, pipeline):
         self.parser = pipeline.parser
@@ -557,10 +558,7 @@ class AttachParse:
     def __call__(self, t: pa.Table) -> pa.Table:
         links: list[list[str]] = []
         for u, h in zip(t["url"].to_pylist(), t["url_hash"].to_numpy()):
-            try:
-                lk, _ = self.parser(u, int(h), None)
-            except Exception:
-                lk = []
+            lk, _ = self.parser(u, int(h), None)
             links.append(lk if lk is not None else [])
         return t.set_column(t.schema.get_field_index("links"), "links", pa.array(links, pa.list_(pa.string())))
 

@@ -162,10 +162,48 @@ class TestTimeouts:
         finally:
             eng.shutdown_shards()
 
+    def test_batch_budget_alone_interrupts_hung_call(self, ray_session, tmp_path):
+        """With ONLY batch_timeout_sec set (no per-call fetch timeout), a
+        fetcher that hangs mid-flight is still abandoned when the host
+        budget expires, and its row returns to the queue untouched — the
+        budget must not depend on the call returning."""
+        marks = str(tmp_path / "marks")
+        os.makedirs(marks)
+
+        class HangsFirstCallFetcher:
+            light = True
+
+            def __init__(self, out):
+                self.out = out
+
+            def __call__(self, url, url_hash, attempt, try_idx, ua):
+                mark = os.path.join(self.out, str(url_hash))
+                if not os.path.exists(mark):
+                    open(mark, "w").close()
+                    time.sleep(30)  # hung on the first-ever call for this URL
+                return "ok", None
+
+        cfg = sw.WebConfig(n_hosts=1, pages_per_host=10, n_seed_hosts=1, seeds_per_host=2,
+                           batch_timeout_sec=0.4)
+        root = str(tmp_path / "hungbudget")
+        pl = build_pipeline("hungslow", HangsFirstCallFetcher(marks))
+        eng = CrawlEngine.start(root, cfg, num_partitions=1, num_shards=1,
+                                wave_cap_per_partition=10, pipeline=pl)
+        try:
+            t0 = time.monotonic()
+            eng.run(max_waves=6)
+            assert time.monotonic() - t0 < 25, "budget did not interrupt the hung call"
+            f = eng.frontier.to_arrow(columns=["status", "attempt"])
+            assert (f["status"].to_numpy() == sem.DONE).all()
+            assert (f["attempt"].to_numpy() == 0).all()  # returnToQueue, not a failure
+        finally:
+            eng.shutdown_shards()
+
     def test_batch_budget_returns_remaining_rows_to_queue(self, ray_session, tmp_path):
-        """batch_timeout_sec expiry mid-host: remaining rows stay WAIT
-        (attempt unchanged) and are re-claimed next wave — forcedStop →
-        returnToQueue parity; no row is lost or double-fetched."""
+        """batch_timeout_sec expiry — including MID-FLIGHT (the in-progress
+        call is abandoned, its row returns to the queue untouched): rows
+        complete across later waves with attempt unchanged — forcedStop →
+        returnToQueue parity; no row is lost."""
         calls_path = str(tmp_path / "calls")
         os.makedirs(calls_path)
 
@@ -183,7 +221,7 @@ class TestTimeouts:
                 return "ok", None
 
         cfg = sw.WebConfig(n_hosts=1, pages_per_host=10, n_seed_hosts=1, seeds_per_host=4,
-                           batch_timeout_sec=0.1)
+                           batch_timeout_sec=0.5)
         root = str(tmp_path / "budget")
         pl = build_pipeline("slow", SlowFetcher(calls_path))
         eng = CrawlEngine.start(root, cfg, num_partitions=1, num_shards=1,
@@ -194,9 +232,9 @@ class TestTimeouts:
             assert (f["status"].to_numpy() == sem.DONE).all()
             assert (f["attempt"].to_numpy() == 0).all()  # budget expiry is not a failure
             assert res["waves_run"] >= 2, "budget never split the host across waves"
-            # every row fetched exactly once (one call file per url_hash)
-            hashes = [name.split("-")[0] for name in os.listdir(calls_path)]
-            assert sorted(hashes) == sorted(str(h) for h in f["url_hash"].to_numpy())
+            # every row eventually fetched; budget-killed attempts re-call
+            hashes = {name.split("-")[0] for name in os.listdir(calls_path)}
+            assert hashes == {str(h) for h in f["url_hash"].to_numpy()}
         finally:
             eng.shutdown_shards()
 
