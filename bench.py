@@ -73,6 +73,7 @@ def run_crawl(num_cpus: int) -> dict:
         max_links=CRAWL["max_links"],
         img_min=CRAWL["img_min"],
         img_max=CRAWL["img_max"],
+        hot_hosts=tuple(CRAWL.get("hot_hosts", ())),
     )
     # tmpfs root: the engine writes ~3.5GB of image fragments per run and the
     # sandbox's disk throughput varies run-to-run (burst credits); memory-backed
@@ -316,7 +317,15 @@ def scaling_run() -> dict:
 
 
 if __name__ == "__main__":
-    if "--large" in sys.argv:
+    if "--skew" in sys.argv:
+        # hot-domain leg: 8 of 2000 hosts carry 8x the pages (and, being
+        # seed hosts, 8x the early traffic) — evidence that per-(partition,
+        # host) fan-out + uniform decode batches keep throughput flat under
+        # domain skew (north_rule hot-domain salting)
+        CRAWL.update(hot_hosts=tuple(f"host{i:03d}.example" for i in range(8)))
+        os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
+        result = full_run()
+    elif "--large" in sys.argv:
         # 10^6-URL universe leg: 2500 hosts × 400 pages, 45k seeds
         CRAWL.update(n_hosts=2500, n_seed_hosts=2500, seeds_per_host=18, wave_cap_per_partition=3000)
         os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
