@@ -243,3 +243,34 @@ class TestSidecarFallbacks:
             ea2.shutdown_shards()
         finally:
             eb.shutdown_shards()
+
+
+class TestSoakResume:
+    def test_resume_across_compactions_and_pushes_matches_uninterrupted(self, ray_session, tmp_path):
+        """8 waves with compact_files=3, an external push after wave 3, and a
+        kill+resume at the same point on one side: frontier and crawl order
+        must be byte-identical to the uninterrupted run (sidecars, dels,
+        pushes and compactions all replay/fold to the same state)."""
+        cfg = sw.WebConfig(n_hosts=9, pages_per_host=60, n_seed_hosts=5, max_links=3, seed=21)
+        pushed = [f"http://host{i:03d}.example/p{40 + i}" for i in range(6)]
+        ra, rb = str(tmp_path / "straight"), str(tmp_path / "resumed")
+        ea = CrawlEngine.start(ra, cfg, num_partitions=3, num_shards=2,
+                               wave_cap_per_partition=12, compact_files=3)
+        eb = CrawlEngine.start(rb, cfg, num_partitions=3, num_shards=2,
+                               wave_cap_per_partition=12, compact_files=3)
+        try:
+            ea.run(max_waves=3)
+            eb.run(max_waves=3)
+            assert ea.push_tasks(pushed) == eb.push_tasks(pushed)
+            eb.shutdown_shards()  # kill: actors gone, engine object dropped
+            eb = CrawlEngine.resume(rb)
+            ea.run(max_waves=8)
+            eb.run(max_waves=8)
+            fa = ea.frontier.to_arrow().sort_by("url_hash")
+            fb = eb.frontier.to_arrow().sort_by("url_hash")
+            assert fa.equals(fb)
+            assert ea.crawl_order().equals(eb.crawl_order())
+            assert any(m.get("compacted", 0) > 0 for m in ea.metrics_table().to_pylist())
+        finally:
+            ea.shutdown_shards()
+            eb.shutdown_shards()
