@@ -394,6 +394,7 @@ class CrawlEngine:
                 num_partitions=P,
                 order_path=self.order.path,
                 compact_files=self.compact_files,
+                filesystem=self.frontier.fs,
             ),
             batch_size=1,
             **_PA,
@@ -480,7 +481,7 @@ class CrawlEngine:
         commit = commit_input.groupby("partition_id").map_groups(
             CommitPartition(
                 self.frontier.path, P, wave, part_files, shards, self.order.path, self.compact_files,
-                cfg=cfg,
+                cfg=cfg, filesystem=self.frontier.fs,
             ),
             batch_format="pyarrow",
         )

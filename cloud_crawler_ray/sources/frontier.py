@@ -66,6 +66,12 @@ DELTA_SCHEMA = pa.schema(
     ]
 )
 
+# WAIT is storage vocabulary: DELTA_SCHEMA persists status codes and the
+# wait sidecar is defined as "rows whose persisted status is WAIT". Pinned
+# here (= pipelines.semantics.WAIT, asserted by the test suite) so the
+# storage layer never imports upward from pipelines/.
+STATUS_WAIT = 0
+
 # ---------------------------------------------------------------------------
 # Partition sidecars (round 3; VERDICT r2 #1/#2/#3)
 #
@@ -155,14 +161,24 @@ def sidecar_path(paths: list[str], prefix: str, idx: int) -> str:
     return pp.join(pp.dirname(paths[0]), f"{prefix}{idx:05d}.parquet")
 
 
+def _sidecar_missing(path: str, filesystem=None) -> bool:
+    """True only for a genuinely ABSENT sidecar — transient IO errors and
+    corrupt files must propagate, not silently degrade to full scans."""
+    from .storage import resolve_fs
+
+    fs, p = resolve_fs(path, filesystem)
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(p).type == pafs.FileType.NotFound
+
+
 def _read_sidecar(path: str, filesystem=None) -> tuple[pa.Table, list[str], int] | None:
     """(table, covered base names, rows covered) or None when absent."""
     import json
 
-    try:
-        t = pq.read_table(path, filesystem=filesystem)
-    except (FileNotFoundError, OSError):
+    if _sidecar_missing(path, filesystem):
         return None
+    t = pq.read_table(path, filesystem=filesystem)
     meta = (t.schema.metadata or {}).get(_SIDECAR_META)
     if meta is None:
         return None
@@ -195,8 +211,6 @@ def load_wait_candidates(
     a wave writes O(wave) bytes and the claim reads
     O(backlog-at-compaction + compact_files · wave). None → no usable
     sidecar (fall back to fold_candidates)."""
-    from ..pipelines import semantics as sem
-
     idx = latest_keys_idx(paths)  # wait* and keys* share the init/compaction cadence
     got = _read_sidecar(sidecar_path(paths, "wait", idx), filesystem)
     if got is None:
@@ -211,7 +225,7 @@ def load_wait_candidates(
                 "row_idx": wt["row_idx"],
                 "url_hash": wt["url_hash"],
                 "priority": wt["priority"],
-                "status": pa.array(np.full(wt.num_rows, sem.WAIT, np.int8), pa.int8()),
+                "status": pa.array(np.full(wt.num_rows, STATUS_WAIT, np.int8), pa.int8()),
                 "attempt": wt["attempt"],
             }
         )
@@ -234,22 +248,8 @@ def load_wait_candidates(
         offset += t.num_rows
         covered_now.append(_name(p))
     cand = pa.concat_tables(parts).combine_chunks()
-    deltas = [p for p in paths if is_delta(p)]
-    if deltas:
-        uh = cand["url_hash"].to_numpy().astype(np.uint64)
-        order = np.argsort(uh, kind="stable")
-        sorted_uh = uh[order]
-        status = cand["status"].to_numpy().copy()
-        attempt = cand["attempt"].to_numpy().copy()
-        for dp in deltas:  # manifest list order == wave order (last writer wins)
-            d = pq.read_table(dp, filesystem=filesystem)
-            pos = scatter_positions(order, sorted_uh, d["url_hash"].to_numpy().astype(np.uint64), dp)
-            status[pos] = d["status"].to_numpy()
-            attempt[pos] = d["attempt"].to_numpy()
-        cand = cand.set_column(cand.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
-        cand = cand.set_column(
-            cand.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32())
-        )
+    # manifest list order == wave order (last writer wins)
+    cand = apply_delta_tables(cand, read_deltas(paths, filesystem))
     return cand, covered_now, offset
 
 
@@ -288,10 +288,9 @@ def keys_lookup(
     kp = sidecar_path(paths, "keys", latest_keys_idx(paths))
     import json
 
-    try:
-        pf = pq.ParquetFile(filesystem.open_input_file(kp) if filesystem is not None else kp)
-    except (FileNotFoundError, OSError):
+    if _sidecar_missing(kp, filesystem):
         return found, ridx, base_paths(paths)
+    pf = pq.ParquetFile(filesystem.open_input_file(kp) if filesystem is not None else kp)
     meta = (pf.schema_arrow.metadata or {}).get(_SIDECAR_META)
     if meta is None:
         return found, ridx, base_paths(paths)
@@ -355,14 +354,45 @@ def scatter_positions(order: np.ndarray, sorted_uh: np.ndarray, delta_uh: np.nda
     invariant violation (compaction bug, hand-edited manifest, partial file
     loss) and must fail loudly instead of silently corrupting whichever row
     sits at the insertion point."""
+    if len(sorted_uh) == 0:
+        if len(delta_uh):
+            raise ValueError(
+                f"frontier corruption in {ctx}: {len(delta_uh)} delta url_hash values "
+                "against an empty base row set"
+            )
+        return np.empty(0, np.int64)
     ins = np.searchsorted(sorted_uh, delta_uh)
-    bad = (ins >= len(sorted_uh)) | (sorted_uh[np.minimum(ins, max(len(sorted_uh) - 1, 0))] != delta_uh)
+    bad = (ins >= len(sorted_uh)) | (sorted_uh[np.minimum(ins, len(sorted_uh) - 1)] != delta_uh)
     if bad.any():
         raise ValueError(
             f"frontier corruption in {ctx}: {int(bad.sum())}/{len(delta_uh)} delta url_hash "
             "values are absent from the partition's base rows"
         )
     return order[ins]
+
+
+def apply_delta_tables(t: pa.Table, deltas: list[tuple[pa.Table, str]]) -> pa.Table:
+    """Scatter (status, attempt) delta tables onto ``t`` by url_hash, in
+    order (last writer wins), membership-checked — THE delta-fold idiom,
+    shared by fold_paths, load_wait_candidates and compaction."""
+    if not deltas:
+        return t
+    uh = t["url_hash"].to_numpy().astype(np.uint64)
+    order = np.argsort(uh, kind="stable")
+    sorted_uh = uh[order]
+    status = t["status"].to_numpy().copy()
+    attempt = t["attempt"].to_numpy().copy()
+    for d, ctx in deltas:
+        pos = scatter_positions(order, sorted_uh, d["url_hash"].to_numpy().astype(np.uint64), ctx)
+        status[pos] = d["status"].to_numpy()
+        attempt[pos] = d["attempt"].to_numpy()
+    t = t.set_column(t.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
+    return t.set_column(t.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32()))
+
+
+def read_deltas(paths: list[str], filesystem=None) -> list[tuple[pa.Table, str]]:
+    """The manifest list's del* tables, in list (= wave) order."""
+    return [(pq.read_table(p, filesystem=filesystem), p) for p in paths if is_delta(p)]
 
 
 def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=None) -> pa.Table:
@@ -373,8 +403,8 @@ def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=No
     so requests not involving them skip delta reads entirely.
     """
     bases = base_paths(paths)
-    deltas = [p for p in paths if is_delta(p)]
-    need_fold = bool(deltas) and (columns is None or "status" in columns or "attempt" in columns)
+    has_deltas = any(is_delta(p) for p in paths)
+    need_fold = has_deltas and (columns is None or "status" in columns or "attempt" in columns)
     read_cols = columns
     if need_fold and columns is not None:
         read_cols = list(dict.fromkeys([*columns, "url_hash", "status", "attempt"]))
@@ -383,18 +413,7 @@ def fold_paths(paths: list[str], columns: list[str] | None = None, filesystem=No
     ).combine_chunks()
     if not need_fold:
         return t
-    uh = t["url_hash"].to_numpy().astype(np.uint64)
-    order = np.argsort(uh, kind="stable")
-    sorted_uh = uh[order]
-    status = t["status"].to_numpy().copy()
-    attempt = t["attempt"].to_numpy().copy()
-    for dp in deltas:
-        d = pq.read_table(dp, filesystem=filesystem)
-        pos = scatter_positions(order, sorted_uh, d["url_hash"].to_numpy().astype(np.uint64), dp)
-        status[pos] = d["status"].to_numpy()
-        attempt[pos] = d["attempt"].to_numpy()
-    t = t.set_column(t.schema.get_field_index("status"), "status", pa.array(status, pa.int8()))
-    t = t.set_column(t.schema.get_field_index("attempt"), "attempt", pa.array(attempt, pa.int32()))
+    t = apply_delta_tables(t, read_deltas(paths, filesystem))
     if columns is not None:
         t = t.select(columns)
     return t
@@ -404,7 +423,10 @@ def take_rows(paths: list[str], indices: np.ndarray, columns: list[str], filesys
     """Row-group-pruned take of ``indices`` (ascending, global over the base
     files' concat order) reading only ``columns`` — the claim stage's heavy
     read (url/host for the selected top-K) touches O(K) row groups, not the
-    partition's url column (VERDICT r1 "what's wrong" #2)."""
+    partition's url column (VERDICT r1 "what's wrong" #2). Accepts either a
+    raw manifest list or a pre-filtered base list: del* entries are always
+    excluded here, so global indices address base rows in both cases."""
+    paths = base_paths(paths)
     out = []
     offset = 0
     for p in paths:
@@ -523,10 +545,10 @@ class FrontierStore:
         total = 0
         for _, paths in self.partition_files(wave).items():
             wp = sidecar_path(paths, "wait", latest_keys_idx(paths))
-            try:  # footer-only read: covered list lives in the schema metadata
-                meta = (pq.read_schema(wp, filesystem=self.fs).metadata or {}).get(_SIDECAR_META)
-            except (FileNotFoundError, OSError):
+            if _sidecar_missing(wp, self.fs):
                 meta = None
+            else:  # footer-only read: covered list lives in the schema metadata
+                meta = (pq.read_schema(wp, filesystem=self.fs).metadata or {}).get(_SIDECAR_META)
             new_files = (
                 _uncovered(paths, list(_json.loads(meta)["covered"])) if meta is not None else None
             )
@@ -546,9 +568,13 @@ class FrontierStore:
         fs_store = cls(path, num_partitions, filesystem=filesystem)
         fs_store.fs.create_dir(fs_store.path, recursive=True)
         parts: dict[int, list[str]] = {}
+        # one argsort + slice boundaries, not P full-table masks
         pid_col = seeds["partition_id"].to_numpy()
+        order = np.argsort(pid_col, kind="stable")
+        sorted_seeds = seeds.take(pa.array(order))
+        bounds = np.searchsorted(pid_col[order], np.arange(num_partitions + 1))
         for pid in range(num_partitions):  # every partition gets a file, even if empty
-            sub = seeds.filter(pa.array(pid_col == pid))
+            sub = sorted_seeds.slice(int(bounds[pid]), int(bounds[pid + 1] - bounds[pid]))
             rel = fs_store.write_main(pid, sub, wave=-2)
             parts[pid] = [rel]
             # seed sidecars (idx 0): every seed row is WAIT; keys sorted

@@ -302,6 +302,7 @@ class ClaimStage:
         num_partitions: int = 0,
         order_path: str | None = None,
         compact_files: int = 8,
+        filesystem=None,
     ):
         self.cfg = cfg
         self.pipeline = pipeline
@@ -311,6 +312,7 @@ class ClaimStage:
         self.P = num_partitions
         self.order_path = order_path
         self.compact_files = compact_files
+        self.fs = filesystem  # the store's pyarrow.fs handle (None → local)
         self.__name__ = f"ClaimStage(w{wave})"
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -322,9 +324,9 @@ class ClaimStage:
             # appended since); full light-column fold only as the legacy
             # fallback (VERDICT r2 #1: claim cost tracks backlog, not
             # frontier size)
-            info = fsrc.load_wait_candidates(paths)
+            info = fsrc.load_wait_candidates(paths, filesystem=self.fs)
             if info is None:
-                info = fsrc.fold_candidates(paths)
+                info = fsrc.fold_candidates(paths, filesystem=self.fs)
             cand, _, _ = info
             c_uh = cand["url_hash"].to_numpy().astype(np.uint64)
             sel_local = sem.select_wave_indices(
@@ -340,7 +342,7 @@ class ClaimStage:
             ridx = cand["row_idx"].to_numpy()[sel_local]
             o = np.argsort(ridx)
             sel_local, sel = sel_local[o], ridx[o]
-            heavy = fsrc.take_rows(fsrc.base_paths(paths), sel, ["url", "host", "depth", "discovered_at"])
+            heavy = fsrc.take_rows(paths, sel, ["url", "host", "depth", "discovered_at"], filesystem=self.fs)
             claim = pa.table(
                 {
                     "url": heavy["url"],
@@ -370,7 +372,7 @@ class ClaimStage:
                 # statuses, so the delta + order fragment are written HERE —
                 # zero exchanges for the status path (only out-link
                 # candidates cross the wave's one shuffle, as in r1)
-                store = FrontierStore(self.frontier_path, self.P)
+                store = FrontierStore(self.frontier_path, self.P, filesystem=self.fs)
                 src, rel, order_rel, n_order = commit_status_files(
                     store, pid, paths, rows, self.wave, self.order_path, self.compact_files, self.cfg
                 )
@@ -889,8 +891,10 @@ class CommitPartition:
         order_path: str,
         compact_files: int = 8,
         cfg: sw.WebConfig | None = None,
+        filesystem=None,
     ):
         self.cfg = cfg if cfg is not None else sw.WebConfig()
+        self.fs = filesystem
         self.frontier_path = frontier_path
         self.P = num_partitions
         self.wave = wave
@@ -903,7 +907,7 @@ class CommitPartition:
     def __call__(self, g: pa.Table) -> pa.Table:
         pid = int(g["partition_id"][0].as_py())
         paths = [str(p) for p in self.part_files[pid]]
-        store = FrontierStore(self.frontier_path, self.P)
+        store = FrontierStore(self.frontier_path, self.P, filesystem=self.fs)
         out: list[pa.Table] = []
         status_rows = g.filter(pc.equal(g["kind"], 0))
         cand = g.filter(pc.equal(g["kind"], 1))
@@ -937,7 +941,7 @@ class CommitPartition:
         # probed via row-group zone maps + post-compaction ins*/push* files —
         # O(candidates) row groups, not the partition's whole hash column
         # (VERDICT r2 #2; SqlQueueTaskProvider.scala:58-68 semantics intact)
-        fresh_mask = ~fsrc.seen_mask(paths, cand["url_hash"].to_numpy().astype(np.uint64))
+        fresh_mask = ~fsrc.seen_mask(paths, cand["url_hash"].to_numpy().astype(np.uint64), filesystem=store.fs)
         fresh = cand.filter(pa.array(fresh_mask))
         if fresh.num_rows == 0:
             return empty_result()

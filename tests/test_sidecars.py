@@ -274,3 +274,9 @@ class TestSoakResume:
         finally:
             ea.shutdown_shards()
             eb.shutdown_shards()
+
+
+def test_storage_wait_constant_pinned_to_semantics():
+    """frontier.STATUS_WAIT deliberately duplicates semantics.WAIT so the
+    storage layer never imports upward — this assert keeps them in lockstep."""
+    assert fsrc.STATUS_WAIT == sem.WAIT
