@@ -150,6 +150,35 @@ def _bootstrap_partition(paths: list[str], shards: list, num_shards: int, filesy
 
 
 @ray.remote
+def _push_partition(
+    frontier_path: str, num_partitions: int, pid: int, paths: list[str], sub: pa.Table, filesystem=None
+) -> tuple[int, str, np.ndarray]:
+    """One partition's share of pushTasks: exact anti-join confirm against
+    committed rows (seen_mask — keys-sidecar zone maps + appended files)
+    and the content-tagged push-file write, off-driver. Returns (pid,
+    relpath or '', fresh url_hash array) for the driver's manifest fold."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..sources import frontier as fsrc
+    from ..sources.frontier import FrontierStore
+
+    already = fsrc.seen_mask(
+        list(paths), sub["url_hash"].to_numpy().astype(np.uint64), filesystem=filesystem
+    )
+    fresh = sub.filter(pa.array(~already))
+    if fresh.num_rows == 0:
+        return pid, "", np.empty(0, np.uint64)
+    fresh = fresh.take(pc.sort_indices(fresh, sort_keys=[("url_hash", "ascending")]))
+    h = fresh["url_hash"].to_numpy().astype(np.uint64)
+    tag = hashlib.sha256(h.tobytes()).hexdigest()[:12]
+    store = FrontierStore(frontier_path, num_partitions, filesystem=filesystem)
+    rel = store.write_push(pid, fresh, tag)
+    return pid, rel, h
+
+
+@ray.remote
 def _wave_done_partition(
     frontier_path: str, pid: int, paths: list[str], wave: int, filesystem=None
 ) -> list[str]:
@@ -541,8 +570,6 @@ class CrawlEngine:
         writes content-tagged push files and re-commits the current wave
         manifest (atomic replace) — an identical re-push is a no-op.
         Returns the number of genuinely new URLs inserted."""
-        import hashlib
-
         canon = canonicalize(urls).drop_null()
         if len(canon) == 0:
             return 0
@@ -570,32 +597,37 @@ class CrawlEngine:
                 "partition_id": pa.array(pids, pa.int32()),
             }
         )
-        from ..sources import frontier as fsrc
-
         wave = self.frontier.latest_wave()
         manifest = self.frontier.manifest(wave)
         part_lists = {int(k): list(v) for k, v in manifest["partitions"].items()}
-        inserted = 0
-        for pid in np.unique(pids):
-            sub = t.filter(pc.equal(t["partition_id"], int(pid)))
-            paths = [os.path.join(self.frontier.path, r) for r in part_lists[int(pid)]]
-            # anti-join via the sorted-keys sidecar (zone-map-pruned) + the
-            # post-compaction ins*/push* files — O(candidates), not a full
-            # hash-column scan (VERDICT r2 fix #3)
-            already = fsrc.seen_mask(
-                paths, sub["url_hash"].to_numpy().astype(np.uint64), filesystem=self.frontier.fs
+        # one Ray task per touched partition (anti-join confirm + push-file
+        # write run off-driver in parallel — a chained wave can push a
+        # wave-sized URL set); the driver only folds (pid, rel, hashes)
+        # results into the manifest + shard pre-filters
+        order = np.argsort(pids, kind="stable")
+        t_sorted = t.take(pa.array(order))
+        pid_sorted = pids[order]
+        bounds = np.flatnonzero(np.concatenate([[True], pid_sorted[1:] != pid_sorted[:-1]]))
+        bounds = np.append(bounds, len(pid_sorted))
+        futs = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            pid = int(pid_sorted[b0])
+            paths = [os.path.join(self.frontier.path, r) for r in part_lists[pid]]
+            futs.append(
+                _push_partition.remote(
+                    self.frontier.path, self.P, pid, paths,
+                    t_sorted.slice(int(b0), int(b1 - b0)), self.frontier.fs,
+                )
             )
-            fresh = sub.filter(pa.array(~already))
-            if fresh.num_rows == 0:
+        inserted = 0
+        for pid, rel, fresh_h in ray.get(futs):
+            if not len(fresh_h):
                 continue
-            fresh = fresh.take(pc.sort_indices(fresh, sort_keys=[("url_hash", "ascending")]))
-            tag = hashlib.sha256(fresh["url_hash"].to_numpy().tobytes()).hexdigest()[:12]
-            rel = self.frontier.write_push(int(pid), fresh, tag)
-            if rel not in part_lists[int(pid)]:
-                part_lists[int(pid)].append(rel)
-            inserted += fresh.num_rows
+            if rel not in part_lists[pid]:
+                part_lists[pid].append(rel)
+            inserted += len(fresh_h)
             if self.shards is not None:
-                h = fresh["url_hash"].to_numpy().astype(np.uint64)
+                h = np.asarray(fresh_h, np.uint64)
                 sid = h % np.uint64(self.S)
                 for s in range(self.S):
                     m = sid == s
