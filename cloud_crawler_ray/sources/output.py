@@ -1,0 +1,81 @@
+"""Resumable partitioned parquet output for query-layer pipelines.
+
+The crawl engine's tables are already resumable (deterministic fragment
+names + manifest-last commits); this is the same discipline for ad-hoc
+pipeline output: one directory per logical partition, a ``_SUCCESS``
+marker written LAST, and a re-run that skips every partition whose marker
+exists — a failed job resumes where it stopped instead of rewriting (or
+half-trusting) one giant file.
+
+Shape: the caller supplies ``make_ds(part)`` — the Dataset for ONE
+partition's rows (e.g. a hash-bucket or key-range filter pushed into the
+read). Each partition is its own streaming pipeline, so a 100 TB output
+is N independent, individually-restartable jobs; Ray Data writes multiple
+files per partition directory (never one giant file).
+"""
+
+from __future__ import annotations
+
+import posixpath as pp
+from collections.abc import Callable, Iterable
+
+from .storage import resolve_fs
+
+
+def _marker(pdir: str) -> str:
+    return pp.join(pdir, "_SUCCESS")
+
+
+def resumable_write(
+    make_ds: Callable[[object], "object"],
+    out_dir: str,
+    partitions: Iterable[object],
+    filesystem=None,
+) -> dict:
+    """Write one parquet directory per partition, skipping finished ones.
+
+    ``make_ds(part)`` → ray.data.Dataset for that partition. Directory
+    layout: ``out_dir/part=<part>/*.parquet`` + ``_SUCCESS`` (written only
+    after the partition's write completed — the commit point). Returns
+    {"written": [...], "skipped": [...]}. Safe to re-run after any crash:
+    a partition directory without its marker is overwritten from scratch.
+    """
+    from pyarrow import fs as pafs
+
+    fs, root = resolve_fs(out_dir, filesystem)
+    fs.create_dir(root, recursive=True)
+    written, skipped = [], []
+    for part in partitions:
+        pdir = pp.join(root, f"part={part}")
+        if fs.get_file_info(_marker(pdir)).type != pafs.FileType.NotFound:
+            skipped.append(part)
+            continue
+        # a torn previous attempt leaves files without the marker: clear it
+        if fs.get_file_info(pdir).type != pafs.FileType.NotFound:
+            fs.delete_dir_contents(pdir, missing_dir_ok=True)
+        ds = make_ds(part)
+        ds.write_parquet(pdir, filesystem=fs)
+        with fs.open_output_stream(_marker(pdir)) as f:
+            f.write(b"")  # marker-last = the partition's commit point
+        written.append(part)
+    return {"written": written, "skipped": skipped}
+
+
+def read_partitioned(out_dir: str, filesystem=None):
+    """Streaming read of every COMMITTED partition (marker present)."""
+    import ray.data as rd
+    from pyarrow import fs as pafs
+
+    fs, root = resolve_fs(out_dir, filesystem)
+    sel = pafs.FileSelector(root, allow_not_found=True)
+    dirs = [i.path for i in fs.get_file_info(sel) if i.type == pafs.FileType.Directory]
+    committed = [d for d in sorted(dirs) if fs.get_file_info(_marker(d)).type != pafs.FileType.NotFound]
+    if not committed:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    files = [
+        i.path
+        for d in committed
+        for i in fs.get_file_info(pafs.FileSelector(d))
+        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+    ]
+    return rd.read_parquet(files, filesystem=fs)

@@ -1,0 +1,75 @@
+"""Resumable partitioned output: a failed run skips finished partitions on
+re-run, torn attempts are overwritten, and the committed union round-trips."""
+
+import numpy as np
+import pytest
+
+from cloud_crawler_ray.sources.output import read_partitioned, resumable_write
+
+SF = "/root/testdata/sf0.001"
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _lang_ds(lang):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).filter(
+        lambda r: r["lang"] == lang
+    )
+
+
+class TestResumableWrite:
+    def test_crash_then_resume_completes_without_rewriting(self, ray_session, tmp_path):
+        out = str(tmp_path / "out")
+
+        calls = []
+
+        def flaky(lang):
+            calls.append(lang)
+            if lang == "fr":
+                raise RuntimeError("simulated mid-job crash")
+            return _lang_ds(lang)
+
+        with pytest.raises(RuntimeError):
+            resumable_write(flaky, out, LANGS)
+        first = set(calls)
+        assert "fr" in first and "zh" not in first  # died at fr, zh never ran
+
+        calls.clear()
+        res = resumable_write(_lang_ds, out, LANGS)
+        # the resume ran ONLY the unfinished partitions
+        assert sorted(res["skipped"]) == sorted(first - {"fr"})
+        assert sorted(res["written"]) == sorted(set(LANGS) - first | {"fr"})
+
+        got = read_partitioned(out).to_pandas()
+        assert (got["part"] == got["lang"]).all()  # hive part column inferred
+        got = got[["doc_id", "lang"]]
+        import pyarrow.parquet as pq
+
+        want = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_torn_partition_without_marker_is_rewritten(self, ray_session, tmp_path):
+        import os
+
+        out = str(tmp_path / "out")
+        resumable_write(_lang_ds, out, ["en"])
+        # simulate a torn attempt: drop the marker, corrupt the data dir
+        os.remove(os.path.join(out, "part=en", "_SUCCESS"))
+        with open(os.path.join(out, "part=en", "garbage.parquet"), "w") as f:
+            f.write("not parquet")
+        res = resumable_write(_lang_ds, out, ["en"])
+        assert res["written"] == ["en"]
+        n = read_partitioned(out).count()
+        import duckdb
+
+        want = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet') WHERE lang='en'"
+        ).fetchone()[0]
+        assert n == want
+
+    def test_read_requires_a_committed_partition(self, ray_session, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_partitioned(str(tmp_path / "empty"))
