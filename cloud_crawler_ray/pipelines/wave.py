@@ -558,6 +558,13 @@ class CrawlEngine:
             "t_claim": round(t_claim, 2),
             "t_commit": round(t_commit, 2),
         }
+        if P <= 256:  # per-partition fetch/dedup metrics in the checkpoint
+            per_part: dict[str, dict] = {}
+            for _, r in stat.iterrows():
+                per_part[str(int(r["pid"]))] = {"selected": int(r["n2"]), "fetched": int(r["n1"])}
+            for _, r in ins.iterrows():
+                per_part.setdefault(str(int(r["pid"])), {})["new"] = int(r["n1"])
+            meta["partitions"] = per_part
         self.frontier.commit(wave, part_lists, meta)
         return {"wave": wave, **meta}
 

@@ -280,3 +280,12 @@ def test_storage_wait_constant_pinned_to_semantics():
     """frontier.STATUS_WAIT deliberately duplicates semantics.WAIT so the
     storage layer never imports upward — this assert keeps them in lockstep."""
     assert fsrc.STATUS_WAIT == sem.WAIT
+
+
+def test_manifest_carries_per_partition_metrics(crawl):
+    """north_star: per-partition checkpoints carry fetch/dedup metrics —
+    each wave manifest's meta maps partition id → selected/fetched/new."""
+    m = crawl.frontier.manifest(0)["meta"]
+    assert "partitions" in m and m["partitions"]
+    total_sel = sum(p.get("selected", 0) for p in m["partitions"].values())
+    assert total_sel == m["selected"]
