@@ -366,25 +366,39 @@ def q_windowed_agg(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min gap) per user: groupby + sorted map_groups."""
+    """Session windows (30-min gap) per user — bucketed + vectorized.
+
+    Scale note: a per-user ``groupby(user_id).map_groups`` pays one Python/
+    pandas dispatch per user (VERDICT r3 #1). Instead users are hash-bucketed
+    (64 buckets) and each bucket sessionizes ALL its users in one vectorized
+    pass — sort by (user_id, ts, event_id), flag session starts with a
+    shifted compare, global cumsum re-based per user — the same pattern as
+    q_asof_prev_event / q_running_sum (~100x fewer Python dispatches)."""
     gap = pd.Timedelta(minutes=30)
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_id"] = new.cumsum().astype(np.int64)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(t["user_id"].to_numpy() % 64, pa.int32()))
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        # a session starts at a >30min gap or a user boundary (first row of
+        # each user: shift() yields NaN, ne() → True)
+        new = (g["ts"].diff() > gap) | g["user_id"].ne(g["user_id"].shift())
+        sid = new.cumsum()
+        # user rows are contiguous and sid is monotone, so re-basing to the
+        # user's first sid restarts session_id at 1 per user
+        g["session_id"] = (sid - sid.groupby(g["user_id"]).transform("min") + 1).astype(np.int64)
         g["v2"] = np.round(g["value"].to_numpy() * 1e2).astype(np.int64)
         out = (
-            g.groupby("session_id")
-            .agg(n_events=("event_id", "size"), v2=("v2", "sum"), session_start=("ts", "min"))
+            g.groupby(["user_id", "session_id"], sort=False)
+            .agg(session_start=("ts", "min"), n_events=("event_id", "size"), v2=("v2", "sum"))
             .reset_index()
         )
         out["sum_value"] = out["v2"] / 1e2
-        out["user_id"] = g["user_id"].iloc[0]
         return out[["user_id", "session_id", "session_start", "n_events", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(sess_bucket, batch_format="pandas")
 
 
 def q_asof_prev_event(sf_dir: str):
@@ -627,25 +641,26 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     sets = ds.map_batches(shingle_sets, **_PA).materialize()
 
     def explode_prefix(t: pa.Table) -> pa.Table:
-        docs, phs, langs, srcs = [], [], [], []
-        for d, lang, src, s in zip(
-            t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["source"].to_pylist(), t["sh"].to_pylist()
-        ):
-            s = np.frombuffer(s, np.uint64)
-            if len(s) == 0:
-                pref = np.zeros(1, np.uint64)  # empty docs bucket together (jaccard(∅,∅)=1)
-            else:
-                p = len(s) - int(np.ceil(t_thresh * len(s))) + 1
-                pref = s[:p]
-            docs.extend([d] * len(pref)); phs.extend(pref.tolist())
-            langs.extend([lang] * len(pref)); srcs.extend([src] * len(pref))
-        ph = np.asarray(phs, np.uint64)
+        # prefix length |A| - ceil(t·|A|) + 1 per doc; empty docs bucket
+        # together (jaccard(∅,∅)=1). Row assembly is np.repeat/take —
+        # no per-row Python append loops (VERDICT r3 #4/#7); the list
+        # comprehension only slices each doc's candidate-bounded prefix.
+        arrs = [np.frombuffer(s, np.uint64) for s in t["sh"].to_pylist()]
+        lens = np.array([len(a) for a in arrs], np.int64)
+        plen = np.where(lens == 0, 1, lens - np.ceil(t_thresh * lens).astype(np.int64) + 1)
+        if arrs:
+            ph = np.concatenate(
+                [a[:p] if len(a) else np.zeros(1, np.uint64) for a, p in zip(arrs, plen)]
+            ).astype(np.uint64)
+        else:
+            ph = np.zeros(0, np.uint64)
+        idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), plen))
         return pa.table(
             {
-                "doc_id": pa.array(docs, pa.int64()),
+                "doc_id": t["doc_id"].take(idx),
                 "ph": pa.array(ph, pa.uint64()),
-                "lang": pa.array(langs, pa.string()),
-                "source": pa.array(srcs, pa.string()),
+                "lang": t["lang"].take(idx),
+                "source": t["source"].take(idx),
                 "bucket": pa.array((ph % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
             }
         )
@@ -1045,10 +1060,20 @@ def q_curation_pipeline(sf_dir: str):
         → deterministic train/val/test split
 
     Shape: two vectorized map_batches (count+rep are doc-local), one
-    KB-sized histogram aggregate for the bounds, ONE text-keyed groupby for
-    the dedup (at 100 TB the key would be a 128-bit content hash — string
-    keys kept so the DuckDB oracle verifies exact semantics end to end),
-    split assignment as a pure map. Output (doc_id, lang, n_tokens, split).
+    KB-sized histogram aggregate for the bounds, ONE hash-keyed dedup
+    aggregate, split assignment as a pure map. Output (doc_id, lang,
+    n_tokens, split).
+
+    Dedup design (VERDICT r3 #2 — the old ``groupby(text).map_groups`` paid
+    one Python dispatch per distinct document AND shuffled full text strings
+    as the group key): each batch keys rows by a 128-bit content hash (two
+    independent 64-bit hashes — collision odds ~1e-19 at 10^10 docs, so the
+    oracle's GROUP BY text semantics hold), locally keeps the min-doc row
+    per key (combiner), and the global ``aggregate(Min)`` folds a PACKED
+    argmin value — zero-padded doc_id + '|' + lang, whose lexicographic min
+    is the arg-min-doc_id row's payload — so the survivor's lang rides the
+    exchange without per-group Python and without text bytes (n_tokens is a
+    pure function of text → constant within a key → Min is exact).
     """
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
@@ -1070,25 +1095,50 @@ def q_curation_pipeline(sf_dir: str):
 
     qual = banded.map_batches(rep_gate, **_PA)
 
-    def keep_min_doc(g: pa.Table) -> pa.Table:
-        i = pc.index(g["doc_id"], pc.min(g["doc_id"]).as_py()).as_py()
-        return g.slice(i, 1)
+    def dedup_local(t: pa.Table) -> pa.Table:
+        # 128-bit content key + packed argmin payload (doc_ids are
+        # non-negative, so zero-padded decimal sorts numerically), then a
+        # per-batch combiner: local keep-min per key shrinks the exchange
+        pack = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 20, "0"), t["lang"], "|"
+        )
+        df = pa.table(
+            {
+                # int64 views: shuffle keys stay Arrow-native types
+                "h1": pa.array(hash64(t["text"]).view(np.int64), pa.int64()),
+                "h2": pa.array(hash64(t["text"], seed=1).view(np.int64), pa.int64()),
+                "pack": pack,
+                "n_tokens": t["n_tokens"],
+            }
+        ).to_pandas()
+        df = df.sort_values(["h1", "h2", "pack"], kind="stable").drop_duplicates(["h1", "h2"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [("h1", pa.int64()), ("h2", pa.int64()), ("pack", pa.string()), ("n_tokens", pa.int64())]
+            )
+        )
 
-    surv = qual.groupby("text").map_groups(keep_min_doc, batch_format="pyarrow")
+    surv = (
+        qual.map_batches(dedup_local, **_PA)
+        .groupby(["h1", "h2"])
+        .aggregate(Min("pack", alias_name="pack"), Min("n_tokens", alias_name="n_tokens"))
+    )
 
-    def assign_split(t: pa.Table) -> pa.Table:
-        frac = _knuth_key(t["doc_id"].to_numpy()) / 4294967296.0
+    def unpack_split(t: pa.Table) -> pa.Table:
+        doc = pc.cast(pc.utf8_slice_codeunits(t["pack"], 0, 20), pa.int64())
+        lang = pc.utf8_slice_codeunits(t["pack"], 21, 1 << 30)
+        frac = _knuth_key(doc.to_numpy()) / 4294967296.0
         s = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
         return pa.table(
             {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
+                "doc_id": doc,
+                "lang": lang,
                 "n_tokens": t["n_tokens"],
                 "split": pa.array(s.tolist(), pa.string()),
             }
         )
 
-    return surv.map_batches(assign_split, **_PA)
+    return surv.map_batches(unpack_split, **_PA)
 
 
 def q_hash_sample(sf_dir: str):
@@ -1573,10 +1623,19 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
             }
         )
 
+    # keep-first dedup as a plain hash aggregate (VERDICT r3 #3 — the old
+    # per-group map_groups paid one pandas dispatch per distinct text):
+    # every payload column is a pure function of text, hence constant
+    # within a text_hash group, so per-column Min IS the arg-min row
     scored = ds.map_batches(score, **_PA)
     return (
         scored.groupby("text_hash")
-        .map_groups(lambda g: g.nsmallest(1, "doc_id"), batch_format="pandas")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("quality", alias_name="quality"),
+            Min("lang_pred", alias_name="lang_pred"),
+        )
         .select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
     )
 
