@@ -20,7 +20,15 @@ Rules pinned here:
     WAIT/FAILED by the cross-wave cap; 3 consecutive io-failed rows trip
     the circuit breaker (maxFailCount=3 analog) — remaining host rows
     stay WAIT untouched (forcedStop → returnToQueue,
-    TasksBatchController.scala:183-198).
+    TasksBatchController.scala:183-198);
+(e) a per-call fetch_timeout expiry routes the abandoned row as io_error
+    AND ends the host's wave — the abandoned daemon thread may still hold
+    a request to this host in flight, so fetching the next row would put
+    two concurrent requests on one host and break the politeness
+    serialization rules (b)/(c) guarantee. Remaining rows stay WAIT
+    untouched, exactly like a circuit-breaker trip (the reference kills
+    the whole batch controller on its execution timeout,
+    WorkerManager.scala:85-96).
 """
 
 from __future__ import annotations
@@ -184,8 +192,8 @@ def fetch_host_wave(
         def timed_fetch(i: int, try_idx: int, limit: float | None):
             """(kind, body, timed_out) — runs the user fetcher in a daemon
             thread and abandons it past ``limit`` (the thread is leaked by
-            design; the caller stops retrying the row after the first
-            timeout, bounding leaks to one thread per hung row)."""
+            design; a fetch-timeout ends the whole host's wave — rule (e) —
+            bounding leaks to one thread per host group per wave)."""
             if limit is not None and limit <= 0:
                 return "io_error", None, True
             out: dict = {}
@@ -220,6 +228,7 @@ def fetch_host_wave(
         first_t = -1
         res, body = "io_error", None
         budget_killed = False
+        abandoned = False  # per-call fetch timeout expired for this row
         for try_idx in range(cfg.in_wave_tries):
             t = int(bucket.schedule(1)[0])
             if first_t < 0:
@@ -240,6 +249,7 @@ def fetch_host_wave(
                     # row returns to the queue untouched. Either way stop
                     # retrying (don't re-hang / leak more threads).
                     budget_killed = budget_bound
+                    abandoned = not budget_bound
                     break
             else:
                 res, body = try_fetch(i, try_idx)
@@ -278,6 +288,12 @@ def fetch_host_wave(
             consec_io += 1
             if consec_io >= cfg.circuit_break_after:
                 tripped = True
+        if abandoned:
+            # rule (e): the abandoned thread may still hold a request to
+            # this host in flight — stop the host's wave here so two
+            # requests are never concurrently in flight on one host
+            # (remaining rows stay WAIT untouched, like a breaker trip)
+            break
 
     return HostWaveResult(
         url_hash,

@@ -576,7 +576,15 @@ class CrawlEngine:
         batch (first wins), anti-joins each partition's committed rows,
         writes content-tagged push files and re-commits the current wave
         manifest (atomic replace) — an identical re-push is a no-op.
-        Returns the number of genuinely new URLs inserted."""
+        Returns the number of genuinely new URLs inserted.
+
+        CONCURRENCY: must not run while a wave is in flight. The anti-join
+        confirms against the last COMMITTED manifest, so a push racing
+        run_wave() can insert a url_hash the wave's CommitPartition also
+        inserts — duplicate base rows break the at-most-once invariant.
+        Push between waves (the engine's driver loop is single-threaded, so
+        this is the natural call pattern); compaction verifies the invariant
+        and fails loudly on duplicates (commit_status_files)."""
         canon = canonicalize(urls).drop_null()
         if len(canon) == 0:
             return 0

@@ -173,7 +173,11 @@ def _sidecar_missing(path: str, filesystem=None) -> bool:
 
 
 def _read_sidecar(path: str, filesystem=None) -> tuple[pa.Table, list[str], int] | None:
-    """(table, covered base names, rows covered) or None when absent."""
+    """(table, covered base names, rows covered) or None when ABSENT.
+
+    A file that exists but lacks the sidecar metadata is corrupt/foreign
+    and raises — only FileType.NotFound may degrade to the full-scan
+    fallback (ADVICE r3: silent degradation would mask corruption)."""
     import json
 
     if _sidecar_missing(path, filesystem):
@@ -181,7 +185,10 @@ def _read_sidecar(path: str, filesystem=None) -> tuple[pa.Table, list[str], int]
     t = pq.read_table(path, filesystem=filesystem)
     meta = (t.schema.metadata or {}).get(_SIDECAR_META)
     if meta is None:
-        return None
+        raise ValueError(
+            f"sidecar {path} exists but carries no sidecar schema metadata — corrupt or "
+            "foreign file (only a genuinely absent sidecar may fall back to a full scan)"
+        )
     m = json.loads(meta)
     return t, list(m["covered"]), int(m["n_rows"])
 
@@ -293,7 +300,10 @@ def keys_lookup(
     pf = pq.ParquetFile(filesystem.open_input_file(kp) if filesystem is not None else kp)
     meta = (pf.schema_arrow.metadata or {}).get(_SIDECAR_META)
     if meta is None:
-        return found, ridx, base_paths(paths)
+        raise ValueError(
+            f"sidecar {kp} exists but carries no sidecar schema metadata — corrupt or "
+            "foreign file (only a genuinely absent sidecar may fall back to a full scan)"
+        )
     covered = list(json.loads(meta)["covered"])
     uncovered = _uncovered(paths, covered)
     if uncovered is None:

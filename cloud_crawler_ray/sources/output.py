@@ -17,9 +17,25 @@ files per partition directory (never one giant file).
 from __future__ import annotations
 
 import posixpath as pp
+import re
 from collections.abc import Callable, Iterable
 
 from .storage import resolve_fs
+
+# path-safe partition values only: a '/' or '=' (or whitespace/control char)
+# in a value would silently change the directory layout and break the
+# marker/commit discipline (ADVICE r3) — reject instead of mangling
+_SAFE_PART = re.compile(r"^[A-Za-z0-9._\-]+$")
+
+
+def _part_dirname(part: object) -> str:
+    s = str(part)
+    if not _SAFE_PART.match(s) or s in (".", ".."):
+        raise ValueError(
+            f"partition value {s!r} is not path-safe (allowed: letters, digits, '.', '_', '-');"
+            " hex-encode or hash path-significant values before using them as partitions"
+        )
+    return f"part={s}"
 
 
 def _marker(pdir: str) -> str:
@@ -46,7 +62,7 @@ def resumable_write(
     fs.create_dir(root, recursive=True)
     written, skipped = [], []
     for part in partitions:
-        pdir = pp.join(root, f"part={part}")
+        pdir = pp.join(root, _part_dirname(part))
         if fs.get_file_info(_marker(pdir)).type != pafs.FileType.NotFound:
             skipped.append(part)
             continue

@@ -216,6 +216,18 @@ def commit_status_files(
         full = fsrc.fold_paths(paths, filesystem=store.fs)
         uh_all = full["url_hash"].to_numpy().astype(np.uint64)
         order = np.argsort(uh_all, kind="stable")
+        # compaction holds the whole partition: the cheap place to verify the
+        # at-most-once invariant (a push_tasks racing a live wave can commit
+        # a hash the wave also inserts — fail loudly instead of leaving a
+        # stale twin WAIT row the scatter would never update; ADVICE r3)
+        s_uh = uh_all[order]
+        ndup = int((s_uh[1:] == s_uh[:-1]).sum())
+        if ndup:
+            raise ValueError(
+                f"frontier corruption in compact p{pid}: {ndup} duplicate url_hash base "
+                "rows — was push_tasks() run concurrently with run_wave()? (see "
+                "CrawlEngine.push_tasks: external pushes must happen between waves)"
+            )
         pos = fsrc.scatter_positions(order, uh_all[order], d_uh, f"compact p{pid}")
         status = full["status"].to_numpy().copy()
         attempt = full["attempt"].to_numpy().copy()

@@ -136,8 +136,9 @@ class TestNotifier:
 class TestTimeouts:
     def test_hung_fetcher_is_killed_and_retried(self, ray_session, tmp_path):
         """A fetcher call that HANGS is abandoned after fetch_timeout_sec and
-        routed as io_error — the in-wave retry then completes the row
-        (WorkerManager.scala:85-96 straggler kill, per-call half)."""
+        routed as io_error; rule (e) ends the host's wave (the abandoned
+        request may still be in flight), so the row completes on a LATER
+        wave's retry (WorkerManager.scala:85-96 straggler kill)."""
 
         class HangsOnceFetcher:
             light = True
@@ -155,8 +156,10 @@ class TestTimeouts:
                                 wave_cap_per_partition=10, pipeline=pl)
         try:
             t0 = time.monotonic()
-            eng.run(max_waves=3)
-            assert time.monotonic() - t0 < 20, "wave stalled behind the hung fetcher"
+            # rule (e): each wave abandons at most one first-call hang per
+            # host, so 3 seed rows need up to 2·3 waves to all reach DONE
+            eng.run(max_waves=7)
+            assert time.monotonic() - t0 < 40, "wave stalled behind the hung fetcher"
             f = eng.frontier.to_arrow(columns=["status"])
             assert (f["status"].to_numpy() == sem.DONE).all()
         finally:

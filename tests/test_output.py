@@ -73,3 +73,10 @@ class TestResumableWrite:
     def test_read_requires_a_committed_partition(self, ray_session, tmp_path):
         with pytest.raises(FileNotFoundError):
             read_partitioned(str(tmp_path / "empty"))
+
+    @pytest.mark.parametrize("bad", ["a/b", "a=b", "", "a b", "a\nb", ".."])
+    def test_path_significant_partition_values_rejected(self, tmp_path, bad):
+        """ADVICE r3: a '/' or '=' in a partition value would silently change
+        the directory layout and break the marker/commit discipline."""
+        with pytest.raises(ValueError, match="not path-safe"):
+            resumable_write(_lang_ds, str(tmp_path / "out"), [bad])

@@ -85,6 +85,32 @@ class TestOutcomeRouting:
         assert (res.status[:3] == sem.WAIT).all() and (res.attempt[:3] == 1).all()
         assert (res.status[3:] == sem.WAIT).all() and not res.fetched[3:].any()  # forcedStop
 
+    def test_fetch_timeout_ends_host_wave(self):
+        """Rule (e) — ADVICE r3: after a per-call fetch timeout the abandoned
+        daemon thread may still hold a request to the host in flight, so the
+        host's remaining rows must NOT be fetched this wave (politeness
+        serialization). The timed-out row routes io_error (attempt+1); the
+        rest stay WAIT untouched, like a circuit-breaker trip."""
+        import time
+
+        def fetcher(url, url_hash, attempt, try_idx, ua):
+            if url.endswith("/p1"):
+                time.sleep(30)  # hung call — abandoned at fetch_timeout_sec
+            return "ok", None
+
+        cfg = sw.WebConfig(n_hosts=1, pages_per_host=10, fetch_timeout_sec=0.2)
+        urls = ["http://h0.example/p0", "http://h0.example/p1", "http://h0.example/p2"]
+        uh = hash64(urls)
+        t0 = time.monotonic()
+        res = sem.fetch_host_wave(
+            "h0.example", 0, urls, uh, np.zeros(3, np.int32), cfg,
+            fetcher=fetcher, collect_links=False,
+        )
+        assert time.monotonic() - t0 < 10
+        assert res.status[0] == sem.DONE and res.fetched[0]
+        assert res.status[1] == sem.WAIT and res.attempt[1] == 1 and res.fetched[1]
+        assert res.status[2] == sem.WAIT and res.attempt[2] == 0 and not res.fetched[2]
+
     def test_robots_skip_consumes_no_budget(self):
         host_id = 2
         host = CFG.host_name(host_id)

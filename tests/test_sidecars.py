@@ -245,6 +245,93 @@ class TestSidecarFallbacks:
             eb.shutdown_shards()
 
 
+class TestSidecarCorruption:
+    def test_present_sidecar_without_metadata_raises(self, tmp_path):
+        """ADVICE r3: only a genuinely ABSENT sidecar may degrade to the
+        full-scan fallback — a present file lacking the sidecar schema
+        metadata is corrupt/foreign and must fail loudly."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+
+        from cloud_crawler_ray.sources import frontier as fsrc
+
+        base = pa.table(
+            {
+                "url_hash": pa.array([10, 20], pa.uint64()),
+                "priority": pa.array([0.1, 0.2], pa.float32()),
+                "status": pa.array([0, 0], pa.int8()),
+                "attempt": pa.array([0, 0], pa.int32()),
+            }
+        )
+        bp = str(tmp_path / "v00001.parquet")
+        pq.write_table(base, bp)
+        # a metadata-less file squatting on both sidecar names
+        for prefix in ("wait", "keys"):
+            pq.write_table(base, str(tmp_path / f"{prefix}00001.parquet"))
+        with pytest.raises(ValueError, match="no sidecar schema metadata"):
+            fsrc.load_wait_candidates([bp])
+        with pytest.raises(ValueError, match="no sidecar schema metadata"):
+            fsrc.keys_lookup([bp], np.array([10], np.uint64))
+        # genuinely absent → graceful fallback (None / all-uncovered)
+        for prefix in ("wait", "keys"):
+            os.remove(str(tmp_path / f"{prefix}00001.parquet"))
+        assert fsrc.load_wait_candidates([bp]) is None
+        found, _, uncovered = fsrc.keys_lookup([bp], np.array([10], np.uint64))
+        assert not found.any() and uncovered == [bp]
+
+    def test_compaction_raises_on_duplicate_base_hash(self, tmp_path):
+        """ADVICE r3: a push_tasks racing a live wave can insert a url_hash
+        twice; compaction holds the whole partition and must fail loudly on
+        the broken at-most-once invariant instead of compacting twins."""
+        import pyarrow as pa
+        import pytest
+
+        from cloud_crawler_ray.sources.frontier import FrontierStore
+        from cloud_crawler_ray.stages.crawl import commit_status_files
+        from cloud_crawler_ray.pipelines import synthweb as sw
+
+        def frontier_rows(hashes):
+            n = len(hashes)
+            return pa.table(
+                {
+                    "url": pa.array([f"http://h/{h}" for h in hashes], pa.string()),
+                    "url_hash": pa.array(hashes, pa.uint64()),
+                    "host": pa.array(["h"] * n, pa.string()),
+                    "depth": pa.array([0] * n, pa.int32()),
+                    "priority": pa.array([0.5] * n, pa.float32()),
+                    "status": pa.array([0] * n, pa.int8()),
+                    "attempt": pa.array([0] * n, pa.int32()),
+                    "discovered_at": pa.array([0] * n, pa.int32()),
+                    "parent_hash": pa.array([0] * n, pa.uint64()),
+                    "link_index": pa.array(list(range(n)), pa.int32()),
+                    "partition_id": pa.array([0] * n, pa.int32()),
+                }
+            )
+
+        store = FrontierStore(str(tmp_path / "frontier"), 1)
+        import os
+
+        rel_main = store.write_main(0, frontier_rows([10, 20, 30]), wave=-2)
+        rel_push = store.write_push(0, frontier_rows([20]), tag="race")  # the twin
+        paths = [os.path.join(store.path, r) for r in (rel_main, rel_push)]
+        flips = pa.table(
+            {
+                "url_hash": pa.array([10], pa.uint64()),
+                "status": pa.array([2], pa.int8()),
+                "attempt": pa.array([0], pa.int32()),
+                "fetched": pa.array([False], pa.bool_()),
+            }
+        )
+        with pytest.raises(ValueError, match="duplicate url_hash"):
+            commit_status_files(
+                store, 0, paths, flips, wave=1, order_path=str(tmp_path / "order"),
+                compact_files=2, cfg=sw.WebConfig(),
+            )
+
+
 class TestSoakResume:
     def test_resume_across_compactions_and_pushes_matches_uninterrupted(self, ray_session, tmp_path):
         """8 waves with compact_files=3, an external push after wave 3, and a
