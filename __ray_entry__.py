@@ -40,4 +40,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column names)."""
     from cloud_crawler_ray import queries as q
 
+    # the crawl_* oracles read a parquet dump of the single-process oracle
+    # simulator; write it now so the SQL side works whichever side of the
+    # compare the driver runs first
+    q.ensure_crawl_oracle_dump()
     return dict(q.ORACLE_SQL)

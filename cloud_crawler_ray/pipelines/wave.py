@@ -446,7 +446,12 @@ class CrawlEngine:
         if pl.save_parsed is not None:
             # light user pipelines now collect records at fetch time inside
             # the claim task (ADVICE r2 routing), so DONE rows already carry
-            # their record column on every path
+            # their record column on every path.
+            # (A streaming repartition to decode_batch_size-row blocks was
+            # tried here to shrink the decode stage's straggler tail and
+            # A/B-measured consistently ~20% SLOWER — the extra operator
+            # pass costs more than the better packing wins; see BASELINE.md
+            # wave-profile notes.)
             parsed_in = done
             branches.append(
                 parsed_in.map_batches(
@@ -518,6 +523,10 @@ class CrawlEngine:
             commit = commit.union(b)
         res = commit.to_pandas()
         t_commit = _time.time() - t_start - t_claim
+        if os.environ.get("GRAFT_WAVE_STATS"):  # per-operator wall-time debug
+            import sys as _sys
+
+            print(f"--- wave {wave} execution-2 stats ---\n{commit.stats()}", file=_sys.stderr)
 
         stat = res[(res["src"] == "delta") | (res["src"] == "compact")]
         n_selected = int(stat["n2"].sum())

@@ -1869,6 +1869,71 @@ def q_frame_sample(sf_dir: str):
 
 _CRAWL_CACHE: dict[str, object] = {}
 
+# one crawl shape shared by the flagship queries AND the oracle-simulator
+# dump — the driver's compare is only meaningful if both run the same web
+_CRAWL_Q_SHAPE = dict(
+    n_hosts=10, pages_per_host=100, n_seed_hosts=5,
+    num_partitions=4, num_shards=2, wave_cap_per_partition=25, max_waves=4,
+)
+_ORACLE_DUMP_DIR = "/tmp/ccr_oracle_crawl_v1"
+
+
+def ensure_crawl_oracle_dump() -> str:
+    """Run the single-process oracle simulator (pipelines/oracle.py — the
+    independent reference implementation of the crawl semantics) at the
+    flagship-query crawl shape and dump its order / seen-set / image-meta
+    tables to parquet, so the DuckDB side of the driver compare can read
+    them (``crawl_order`` / ``crawl_seen_set`` / ``crawl_images_meta``
+    oracles). Idempotent; called from both the query path (_small_crawl)
+    and ``__ray_entry__.oracle_sql()`` so either side of the driver's
+    compare can run first. url_hash is reinterpreted uint64→int64 at write
+    time (same bit pattern the queries expose)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = _ORACLE_DUMP_DIR
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    from .pipelines import oracle
+    from .pipelines import synthweb as sw
+
+    c = _CRAWL_Q_SHAPE
+    cfg = sw.WebConfig(n_hosts=c["n_hosts"], pages_per_host=c["pages_per_host"], n_seed_hosts=c["n_seed_hosts"])
+    res = oracle.run_oracle(
+        cfg,
+        num_partitions=c["num_partitions"],
+        wave_cap_per_partition=c["wave_cap_per_partition"],
+        max_waves=c["max_waves"],
+    )
+    tmp = tempfile.mkdtemp(prefix="ccr_oracle_dump_", dir="/tmp")
+
+    def _i64(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("url_hash")
+        return t.set_column(i, "url_hash", pa.array(t["url_hash"].to_numpy().view(np.int64)))
+
+    pq.write_table(
+        _i64(res.order.select(["fetch_seq", "wave", "vtime", "url_hash", "host", "ua", "proxy_id"])),
+        os.path.join(tmp, "order.parquet"),
+    )
+    pq.write_table(
+        _i64(res.frontier.select(["url_hash", "status", "depth", "attempt"])),
+        os.path.join(tmp, "seen_set.parquet"),
+    )
+    pq.write_table(
+        res.images.select(["image_id", "w", "h", "fmt", "caption", "phash"]),
+        os.path.join(tmp, "images.parquet"),
+    )
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent writer won the rename — theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
 
 def _small_crawl(sf_dir: str):
     """One small deterministic crawl per sf_dir (cached within the process)."""
@@ -1879,11 +1944,16 @@ def _small_crawl(sf_dir: str):
     from .pipelines import synthweb as sw
     from .pipelines.wave import CrawlEngine
 
-    cfg = sw.WebConfig(n_hosts=10, pages_per_host=100, n_seed_hosts=5)
+    c = _CRAWL_Q_SHAPE
+    cfg = sw.WebConfig(n_hosts=c["n_hosts"], pages_per_host=c["pages_per_host"], n_seed_hosts=c["n_seed_hosts"])
     root = tempfile.mkdtemp(prefix="ccr_crawl_q_")
-    eng = CrawlEngine.start(root, cfg, num_partitions=4, num_shards=2, wave_cap_per_partition=25)
-    eng.run(max_waves=4)
+    eng = CrawlEngine.start(
+        root, cfg, num_partitions=c["num_partitions"], num_shards=c["num_shards"],
+        wave_cap_per_partition=c["wave_cap_per_partition"],
+    )
+    eng.run(max_waves=c["max_waves"])
     eng.shutdown_shards()
+    ensure_crawl_oracle_dump()  # the DuckDB side of this query's compare
     _CRAWL_CACHE[sf_dir] = eng
     return eng
 
@@ -1895,8 +1965,10 @@ def _u64_as_i64(t: pa.Table, col: str) -> pa.Table:
 
 
 def q_crawl_order(sf_dir: str):
-    """Global crawl order of the flagship crawl (wave, vtime, url_hash)."""
-    return _u64_as_i64(_small_crawl(sf_dir).crawl_order(), "url_hash")
+    """Global crawl order of the flagship crawl — checked against the
+    single-process oracle simulator's order table (parquet dump)."""
+    t = _u64_as_i64(_small_crawl(sf_dir).crawl_order(), "url_hash")
+    return t.select(["fetch_seq", "wave", "vtime", "url_hash", "host", "ua", "proxy_id"])
 
 
 def q_crawl_seen_set(sf_dir: str):
@@ -2332,6 +2404,176 @@ ORACLE_SQL["lang_id"] = f"""
            CASE WHEN regexp_matches(substring(text, 1, 200), '[一-鿿]') THEN 'zh'
                 WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred
     FROM best WHERE rn = 1
+"""
+
+# --------------------------------------------------------------------------
+# hash64-in-SQL oracles (simhash / fingerprint)
+#
+# The engine's 64-bit token hash (functions/hashing.py:60 — splitmix64
+# word-fold over little-endian uint64 words of the utf-8 bytes, then a
+# length fold) is reproduced exactly in DuckDB: UBIGINT bit ops + HUGEINT
+# modular arithmetic (wrap-around multiply via 32-bit limb split), bytes
+# extracted with hex(encode(token)). Expression chains are generated here so
+# each splitmix64 application is a lateral-alias pipeline, not a hand-typed
+# 5 KB expression. Every token's fold is unrolled to _HASH_SQL_MAX_WORDS
+# words (the synthetic corpus tokenizes to <=8-byte tokens; a longer token
+# raises error() in the oracle rather than mis-hashing).
+# --------------------------------------------------------------------------
+
+_M64 = 1 << 64
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_HASH_SQL_MAX_WORDS = 2
+
+
+def _sql_mulmod(a: str, m: int) -> str:
+    """(a * m) mod 2^64 with a 64-bit constant m, via 32-bit limb split:
+    a*m = a*ml + ((a mod 2^32)*mh mod 2^32) << 32 — every intermediate fits
+    HUGEINT (a*ml <= 2^96)."""
+    mh, ml = m >> 32, m & 0xFFFFFFFF
+    return (
+        f"CAST((CAST({a} AS HUGEINT)*{ml} + ((CAST({a} AS HUGEINT) % 4294967296)*{mh}) "
+        f"% 4294967296 * 4294967296) % {_M64} AS UBIGINT)"
+    )
+
+
+def _sql_splitmix(p: str, x: str) -> str:
+    """Lateral-alias chain: alias {p} = splitmix64({x}) (hashing.py:29)."""
+    z0 = f"CAST((CAST({x} AS HUGEINT) + {_SM_GOLDEN}) % {_M64} AS UBIGINT)"
+    return (
+        f"{z0} AS {p}_z0, "
+        f"{_sql_mulmod(f'xor({p}_z0, {p}_z0 >> 30)', _SM_M1)} AS {p}_z1, "
+        f"{_sql_mulmod(f'xor({p}_z1, {p}_z1 >> 27)', _SM_M2)} AS {p}_z2, "
+        f"xor({p}_z2, {p}_z2 >> 31) AS {p}"
+    )
+
+
+def _sql_word(j: int) -> str:
+    """Little-endian uint64 word j of column t's utf-8 bytes (HUGEINT expr)."""
+    pad = f"rpad(hex(encode(t)), {16 * (j + 1)}, '0')"
+    terms = " + ".join(
+        f"CAST(CAST('0x' || substr({pad}, {16 * j + 2 * i + 1}, 2) AS UBIGINT) AS HUGEINT)*{256**i}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _sql_token_hash_ctes(src: str) -> str:
+    """CTE chain hashing each (doc_id, i, t) row of {src} → tokhash(doc_id,
+    i, th) with th = hash64(t) (hashing.py:60, seed 0): h = GOLDEN; for each
+    of ceil(bytes/8) words: h = splitmix64(h ^ word); h = splitmix64(h ^
+    bytelen)."""
+    W = _HASH_SQL_MAX_WORDS
+    ctes = [
+        f"tokh0 AS (SELECT doc_id, i, t, strlen(t) AS L, CAST((strlen(t)+7)//8 AS BIGINT) AS nw, "
+        f"CASE WHEN strlen(t) > {8 * W} THEN CAST(error('token too long for SQL hash64 oracle') AS UBIGINT) "
+        f"ELSE CAST({_SM_GOLDEN} AS UBIGINT) END AS h0 FROM {src})"
+    ]
+    for j in range(W):
+        ctes.append(
+            f"tokh{j + 1} AS (SELECT doc_id, i, t, L, nw, "
+            + _sql_splitmix(f"s{j}", f"xor(h{j}, CAST({_sql_word(j)} % {_M64} AS UBIGINT))")
+            + f", CASE WHEN nw > {j} THEN s{j} ELSE h{j} END AS h{j + 1} FROM tokh{j})"
+        )
+    ctes.append(
+        f"tokhf AS (SELECT doc_id, i, " + _sql_splitmix("sf", f"xor(h{W}, CAST(L AS UBIGINT))") + f" FROM tokh{W})"
+    )
+    ctes.append("tokhash AS (SELECT doc_id, i, sf AS th FROM tokhf)")
+    return ", ".join(ctes)
+
+
+_SQL_SIGNED64 = f"CAST(CASE WHEN coalesce(v.v, 0) >= {_M64 // 2} THEN CAST(coalesce(v.v, 0) AS HUGEINT) - {_M64} ELSE coalesce(v.v, 0) END AS BIGINT)"
+
+# simhash64 (functions/text.py:234): per-token hash64, ±1 votes per bit
+# weighted by token multiplicity, bit set where votes > 0. The bit value
+# MUST be built with a UBIGINT shift — DuckDB's ** is float pow and eats
+# the low bits.
+ORACLE_SQL["simhash"] = f"""
+    WITH toks0 AS (
+      SELECT doc_id, trim(lower(text)) AS tt FROM documents
+    ), tl AS (
+      SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
+    ), tok AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS i, ts[g.i] AS t
+      FROM tl, unnest(range(1, len(ts) + 1)) AS g(i)
+    ), {_sql_token_hash_ctes('tok')}, bits AS (
+      SELECT h.doc_id, b.j,
+             sum(CASE WHEN ((h.th >> CAST(b.j AS UBIGINT)) & 1) = 1 THEN 1 ELSE -1 END) AS votes
+      FROM tokhash h, (SELECT unnest(range(0, 64)) AS j) b
+      GROUP BY h.doc_id, b.j
+    ), vals AS (
+      SELECT doc_id,
+             sum(CASE WHEN votes > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT) ELSE 0 END) AS v
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, {_SQL_SIGNED64} AS simhash
+    FROM documents d LEFT JOIN vals v USING (doc_id)
+"""
+
+# doc_fingerprint (functions/text.py:118): rolling Rabin–Karp 4-gram over
+# token hash64s (base 1000003 mod 2^64), winnowing minima over sliding
+# windows of min(4, len(roll)), distinct minima splitmix64'd and summed
+# mod 2^64. n>=7 → 4-wide windows at positions 1..n-6; 4<=n<=6 → a single
+# window (min of the whole roll); n<4 → sum of splitmix64(token hashes).
+ORACLE_SQL["fingerprint"] = f"""
+    WITH toks0 AS (
+      SELECT doc_id, trim(text) AS tt FROM documents
+    ), tl AS (
+      SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
+    ), tok AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS i, ts[g.i] AS t
+      FROM tl, unnest(range(1, len(ts) + 1)) AS g(i)
+    ), {_sql_token_hash_ctes('tok')}, nn AS (
+      SELECT doc_id, count(*) AS n FROM tokhash GROUP BY doc_id
+    ), rolled AS (
+      SELECT h.doc_id, h.i, nn.n,
+             CAST((
+               ((CAST(h.th AS HUGEINT) * 1000003
+                 + lead(h.th, 1) OVER w) % {_M64} * 1000003
+                 + lead(h.th, 2) OVER w) % {_M64} * 1000003
+                 + lead(h.th, 3) OVER w) % {_M64} AS UBIGINT) AS roll
+      FROM tokhash h JOIN nn USING (doc_id)
+      WHERE nn.n >= 4
+      WINDOW w AS (PARTITION BY h.doc_id ORDER BY h.i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      QUALIFY h.i <= nn.n - 3
+    ), wmins AS (
+      SELECT doc_id, n, i,
+             min(roll) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w4
+      FROM rolled
+    ), minima AS (
+      SELECT DISTINCT doc_id, w4 AS m FROM wmins WHERE n >= 7 AND i <= n - 6
+      UNION
+      SELECT doc_id, min(roll) AS m FROM rolled WHERE n BETWEEN 4 AND 6 GROUP BY doc_id, n
+    ), sm_min AS (
+      SELECT doc_id, {_sql_splitmix('sv', 'm')} FROM minima
+    ), big AS (
+      SELECT doc_id, CAST(sum(CAST(sv AS HUGEINT)) % {_M64} AS UBIGINT) AS v FROM sm_min GROUP BY doc_id
+    ), sm_small AS (
+      SELECT h.doc_id, {_sql_splitmix('sw', 'h.th')} FROM tokhash h JOIN nn USING (doc_id) WHERE nn.n < 4
+    ), small AS (
+      SELECT doc_id, CAST(sum(CAST(sw AS HUGEINT)) % {_M64} AS UBIGINT) AS v FROM sm_small GROUP BY doc_id
+    ), vals AS (SELECT * FROM big UNION ALL SELECT * FROM small)
+    SELECT d.doc_id, {_SQL_SIGNED64} AS fingerprint
+    FROM documents d LEFT JOIN vals v USING (doc_id)
+"""
+
+# Crawl-table oracles: the DuckDB side reads the parquet dump of the
+# single-process oracle simulator (pipelines/oracle.py), written by
+# ensure_crawl_oracle_dump() from whichever side of the driver compare runs
+# first — engine vs simulator is exactly the conformance suite's check,
+# here surfaced through the driver's row/schema/value-hash gate.
+ORACLE_SQL["crawl_order"] = f"""
+    SELECT fetch_seq, wave, vtime, url_hash, host, ua, proxy_id
+    FROM read_parquet('{_ORACLE_DUMP_DIR}/order.parquet')
+"""
+ORACLE_SQL["crawl_seen_set"] = f"""
+    SELECT url_hash, status, depth, attempt
+    FROM read_parquet('{_ORACLE_DUMP_DIR}/seen_set.parquet')
+"""
+ORACLE_SQL["crawl_images_meta"] = f"""
+    SELECT image_id, w, h, fmt, caption, phash
+    FROM read_parquet('{_ORACLE_DUMP_DIR}/images.parquet')
 """
 
 ORACLE_SQL["frame_sample"] = f"""
