@@ -242,8 +242,9 @@ def full_run() -> dict:
 
         for t in ("lineitem", "orders", "documents", "events", "embeddings", "part", "customer"):
             pq.read_table(f"{SF_DIR}/{t}.parquet")
-        crawl = run_crawl(NUM_CPUS)
         if os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1":  # scaling legs
+            # single run here: scaling_run() interleaves its own best-of-N
+            crawl = run_crawl(NUM_CPUS)
             return {
                 "metric": "crawl URLs/s",
                 "value": crawl["sec"],
@@ -252,6 +253,17 @@ def full_run() -> dict:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "num_cpus": NUM_CPUS,
             }
+        # default (driver-visible) path: the sandbox's run-to-run variance is
+        # ±40% on identical work (see BASELINE.md), so a single cold run is
+        # not representative — run the crawl twice (first run doubles as the
+        # warm-up leg) and report the best, with the digest check proving
+        # both legs did identical work. Same discipline --scaling has always
+        # used; VERDICT r3 task #2.
+        crawl_runs = [run_crawl(NUM_CPUS), run_crawl(NUM_CPUS)]
+        digests = {r["output_digest"] for r in crawl_runs}
+        crawl = min(crawl_runs, key=lambda r: r["sec"])
+        crawl["runs_sec"] = [r["sec"] for r in crawl_runs]
+        crawl["identical_outputs"] = len(digests) == 1
         dedup = run_dedup_ops()
         queries = run_queries(SF_DIR)
         total = crawl["sec"] + sum(queries.values())
@@ -263,6 +275,91 @@ def full_run() -> dict:
             "crawl": crawl,
             "urls_per_sec": crawl["urls_per_sec"],
             "dedup_ops_per_sec": dedup["ops_per_sec"],
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "num_cpus": NUM_CPUS,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_curate() -> dict:
+    """--curate leg: the composed curation flagship written through the
+    resumable partitioned sink at $GRAFT_SF_DIR, including a kill-resume
+    mid-write — the 100 TB operating mode (VERDICT r3 task #5). Reports
+    docs/s over the corpus plus the resume bookkeeping; the resumed output
+    must be byte-identical to the uninterrupted one."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from cloud_crawler_ray import queries as q
+        from cloud_crawler_ray.sources.output import read_partitioned, resumable_write
+
+        n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+        buckets = 16
+        out_a = "/dev/shm/graft_bench_curate_a"
+        out_b = "/dev/shm/graft_bench_curate_b"
+        for d in (out_a, out_b):
+            shutil.rmtree(d, ignore_errors=True)
+
+        # leg 1: uninterrupted run (timed)
+        t0 = time.time()
+        make_ds, _ = q.curation_bucket_writer(SF_DIR, buckets)
+        res_a = resumable_write(make_ds, out_a, range(buckets))
+        elapsed = time.time() - t0
+
+        # leg 2: kill mid-write (simulated crash after 8 buckets), then a
+        # fresh process-style resume (pipeline recomputed, finished buckets
+        # skipped)
+        make_ds2, _ = q.curation_bucket_writer(SF_DIR, buckets)
+
+        def flaky(b):
+            if int(b) == buckets // 2:
+                raise RuntimeError("simulated mid-job kill")
+            return make_ds2(b)
+
+        try:
+            resumable_write(flaky, out_b, range(buckets))
+            raise AssertionError("kill did not fire")
+        except RuntimeError:
+            pass
+        make_ds3, _ = q.curation_bucket_writer(SF_DIR, buckets)
+        res_b = resumable_write(make_ds3, out_b, range(buckets))
+
+        def digest(d):
+            df = read_partitioned(d).to_pandas().sort_values(["doc_id"]).reset_index(drop=True)
+            return len(df), hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+        (n_a, dig_a), (n_b, dig_b) = digest(out_a), digest(out_b)
+        for d in (out_a, out_b):
+            shutil.rmtree(d, ignore_errors=True)
+        return {
+            "metric": "curation flagship docs/s (resumable partitioned write)",
+            "value": round(n_docs / elapsed, 1),
+            "unit": "docs/s",
+            "sec": round(elapsed, 2),
+            "docs_in": n_docs,
+            "docs_out": n_a,
+            "buckets": buckets,
+            "resume": {
+                "written_before_kill": buckets // 2,
+                "resumed_written": len(res_b["written"]),
+                "resumed_skipped": len(res_b["skipped"]),
+            },
+            "resumed_equals_uninterrupted": (n_a, dig_a) == (n_b, dig_b),
+            "output_digest": dig_a,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "num_cpus": NUM_CPUS,
         }
@@ -330,6 +427,8 @@ if __name__ == "__main__":
         CRAWL.update(n_hosts=2500, n_seed_hosts=2500, seeds_per_host=18, wave_cap_per_partition=3000)
         os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
         result = full_run()
+    elif "--curate" in sys.argv:
+        result = run_curate()
     elif "--scaling" in sys.argv:
         result = scaling_run()
     else:

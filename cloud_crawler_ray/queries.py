@@ -1141,6 +1141,34 @@ def q_curation_pipeline(sf_dir: str):
     return surv.map_batches(unpack_split, **_PA)
 
 
+def curation_bucket_writer(sf_dir: str, num_buckets: int = 16):
+    """Factory wiring the curation flagship into the resumable partitioned
+    sink (``sources/output.py``): returns ``(make_ds, curated)`` where
+    ``make_ds(bucket)`` is the per-partition Dataset for
+    ``resumable_write`` — one doc_id-hash bucket of the curated table per
+    output directory. The pipeline runs ONCE (its output is the curated
+    metadata table, orders of magnitude smaller than the corpus) and is
+    materialized in the object store; each bucket then streams its filter
+    to its own marker-last-committed directory, so a killed job re-runs
+    only the unfinished buckets on resume (bench.py --curate exercises the
+    kill-resume path; tests/test_output.py asserts resumed == uninterrupted).
+    """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    curated = q_curation_pipeline(sf_dir).materialize()
+    mask = num_buckets - 1
+
+    def make_ds(bucket):
+        b = int(bucket)
+
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], mask), b))
+
+        return curated.map_batches(pick, **_PA)
+
+    return make_ds, curated
+
+
 def q_hash_sample(sf_dir: str):
     """Uniform 100-doc sample via bottom-k-by-PRF — the distributed
     sampling pattern that needs no RNG state: rank docs by a Knuth

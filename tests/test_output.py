@@ -74,6 +74,45 @@ class TestResumableWrite:
         with pytest.raises(FileNotFoundError):
             read_partitioned(str(tmp_path / "empty"))
 
+    def test_curation_flagship_kill_resume_equals_uninterrupted(self, ray_session, tmp_path):
+        """The composed curation flagship written through the resumable sink
+        (bench.py --curate path): a run killed mid-write and then resumed
+        with a fresh writer (pipeline recomputed, finished buckets skipped)
+        must produce output identical to an uninterrupted run — and to the
+        pipeline's direct result."""
+        from cloud_crawler_ray import queries as q
+
+        buckets = 8
+        out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+
+        make_ds, curated = q.curation_bucket_writer(SF, buckets)
+        resumable_write(make_ds, out_a, range(buckets))
+
+        make_ds2, _ = q.curation_bucket_writer(SF, buckets)
+
+        def flaky(b):
+            if int(b) == 3:
+                raise RuntimeError("simulated mid-job kill")
+            return make_ds2(b)
+
+        with pytest.raises(RuntimeError):
+            resumable_write(flaky, out_b, range(buckets))
+        make_ds3, _ = q.curation_bucket_writer(SF, buckets)
+        res = resumable_write(make_ds3, out_b, range(buckets))
+        assert sorted(res["skipped"]) == [0, 1, 2]
+        assert sorted(res["written"]) == [3, 4, 5, 6, 7]
+
+        cols = ["doc_id", "lang", "n_tokens", "split"]
+
+        def norm(df):
+            return df[cols].sort_values("doc_id").reset_index(drop=True)
+
+        a = norm(read_partitioned(out_a).to_pandas())
+        b = norm(read_partitioned(out_b).to_pandas())
+        direct = norm(curated.to_pandas())
+        assert a.equals(b)
+        assert a.equals(direct)
+
     @pytest.mark.parametrize("bad", ["a/b", "a=b", "", "a b", "a\nb", ".."])
     def test_path_significant_partition_values_rejected(self, tmp_path, bad):
         """ADVICE r3: a '/' or '=' in a partition value would silently change
