@@ -238,6 +238,7 @@ class CrawlEngine:
         decode_concurrency: int | None = None,
         compact_files: int = 8,
         pipeline: CrawlPipeline | None = None,
+        filesystem=None,
     ):
         self.root = root
         self.cfg = cfg
@@ -249,48 +250,63 @@ class CrawlEngine:
         self.decode_concurrency = decode_concurrency
         self.compact_files = compact_files
         self.pipeline = pipeline if pipeline is not None else synthetic_pipeline(cfg)
-        self.frontier = FrontierStore(os.path.join(root, "frontier"), num_partitions)
-        self.images = LanceLikeTable(os.path.join(root, "images"))  # the pipeline's parsed table
-        self.raw = LanceLikeTable(os.path.join(root, "raw"))
-        self.order = LanceLikeTable(os.path.join(root, "order"))
+        # one pyarrow.fs handle for the whole job (None → local); every
+        # store and remote task reads/writes through it, so a crawl runs
+        # unchanged against any non-local backend (tests drive this with a
+        # latency-injecting wrapper — sources/storage.py)
+        from ..sources.storage import resolve_fs
+
+        self.fs, _ = resolve_fs(root, filesystem)
+        self.frontier = FrontierStore(os.path.join(root, "frontier"), num_partitions, filesystem=filesystem)
+        self.images = LanceLikeTable(os.path.join(root, "images"), filesystem=filesystem)  # parsed table
+        self.raw = LanceLikeTable(os.path.join(root, "raw"), filesystem=filesystem)
+        self.order = LanceLikeTable(os.path.join(root, "order"), filesystem=filesystem)
         self.shards: list | None = None
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
     def start(cls, root: str, cfg: sw.WebConfig, **kw) -> "CrawlEngine":
         """Initialize a new crawl: seed frontier + empty output tables."""
+        from ..sources.storage import write_json_atomic
+
         eng = cls(root, cfg, **kw)
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "config.json"), "w") as f:
-            json.dump(
-                {
-                    "cfg": eng.cfg.__dict__ | {"hot_hosts": list(eng.cfg.hot_hosts)},
-                    "num_partitions": eng.P,
-                    "num_shards": eng.S,
-                    "wave_cap_per_partition": eng.K,
-                    "fetch_buckets": eng.B,
-                    "decode_batch_size": eng.decode_batch_size,
-                    "compact_files": eng.compact_files,
-                    "task_type": eng.pipeline.task_type,
-                },
-                f,
-            )
+        fs = eng.fs
+        fs.create_dir(root, recursive=True)
+        write_json_atomic(
+            fs,
+            os.path.join(root, "config.json"),
+            {
+                "cfg": eng.cfg.__dict__ | {"hot_hosts": list(eng.cfg.hot_hosts)},
+                "num_partitions": eng.P,
+                "num_shards": eng.S,
+                "wave_cap_per_partition": eng.K,
+                "fetch_buckets": eng.B,
+                "decode_batch_size": eng.decode_batch_size,
+                "compact_files": eng.compact_files,
+                "task_type": eng.pipeline.task_type,
+            },
+        )
         seeds = eng._seed_table()
-        FrontierStore.initialize(eng.frontier.path, seeds, eng.P)
-        LanceLikeTable.create(eng.images.path)
-        LanceLikeTable.create(eng.order.path)
+        FrontierStore.initialize(eng.frontier.path, seeds, eng.P, filesystem=eng.frontier.fs)
+        LanceLikeTable.create(eng.images.path, filesystem=eng.images.fs)
+        LanceLikeTable.create(eng.order.path, filesystem=eng.order.fs)
         if eng.pipeline.save_raw is not None:
-            LanceLikeTable.create(eng.raw.path)
+            LanceLikeTable.create(eng.raw.path, filesystem=eng.raw.fs)
         return eng
 
     @classmethod
-    def resume(cls, root: str, pipeline: CrawlPipeline | None = None) -> "CrawlEngine":
+    def resume(
+        cls, root: str, pipeline: CrawlPipeline | None = None, filesystem=None
+    ) -> "CrawlEngine":
         """Reopen from the last committed wave manifest (kill-restart path).
 
         Hooks are code, not state: a custom-pipeline job must be resumed
-        with the same ``pipeline`` it started with (None → synthetic)."""
-        with open(os.path.join(root, "config.json")) as f:
-            c = json.load(f)
+        with the same ``pipeline`` it started with (None → synthetic) and,
+        for non-local roots, the same ``filesystem`` handle."""
+        from ..sources.storage import read_json, resolve_fs
+
+        rfs, _ = resolve_fs(root, filesystem)
+        c = read_json(rfs, os.path.join(root, "config.json"))
         raw = dict(c["cfg"])
         raw["hot_hosts"] = tuple(raw.get("hot_hosts", ()))
         cfg = sw.WebConfig(**raw)
@@ -304,6 +320,7 @@ class CrawlEngine:
             decode_batch_size=c.get("decode_batch_size", 64),
             compact_files=c.get("compact_files", 8),
             pipeline=pipeline,
+            filesystem=filesystem,
         )
         stored = c.get("task_type")
         if stored is not None and eng.pipeline.task_type != stored:
@@ -455,7 +472,7 @@ class CrawlEngine:
             parsed_in = done
             branches.append(
                 parsed_in.map_batches(
-                    SaveParsedBatch(pl.save_parsed, self.images.path, wave, src="parsed"),
+                    SaveParsedBatch(pl.save_parsed, self.images.path, wave, src="parsed", filesystem=self.images.fs),
                     batch_size=self.decode_batch_size,
                     **_PA,
                 )
@@ -464,7 +481,7 @@ class CrawlEngine:
             raw_rows = fetched.map_batches(lambda t: t.filter(pc.is_valid(t["body"])), **_PA)
             branches.append(
                 raw_rows.map_batches(
-                    SaveParsedBatch(pl.save_raw, self.raw.path, wave, src="raw"),
+                    SaveParsedBatch(pl.save_raw, self.raw.path, wave, src="raw", filesystem=self.raw.fs),
                     batch_size=self.decode_batch_size,
                     **_PA,
                 )

@@ -280,7 +280,9 @@ def commit_status_files(
             }
         ).cast(ORDER_SCHEMA)
         ot = ot.take(pc.sort_indices(ot, sort_keys=[("vtime", "ascending"), ("url_hash", "ascending")]))
-        order_rel = LanceLikeTable(order_path).write_fragment(ot, name=f"w{wave:05d}-p{pid:04d}")
+        order_rel = LanceLikeTable(order_path, filesystem=store.fs).write_fragment(
+            ot, name=f"w{wave:05d}-p{pid:04d}"
+        )
     return src, rel, order_rel, forder.num_rows
 
 
@@ -634,11 +636,12 @@ class SaveParsedBatch:
     (disjoint batches → unique names); cross-run idempotency comes from the
     commit-by-wave guard in run_wave."""
 
-    def __init__(self, sink, table_path: str, wave: int, src: str = "parsed"):
+    def __init__(self, sink, table_path: str, wave: int, src: str = "parsed", filesystem=None):
         self.sink = sink
         self.table_path = table_path
         self.wave = wave
         self.src = src
+        self.fs = filesystem  # ships with the stage into each sink task
         self.__name__ = f"SaveParsedBatch(w{wave})"
 
     def __call__(self, g: pa.Table) -> pa.Table:
@@ -646,7 +649,7 @@ class SaveParsedBatch:
             return empty_result()
         t = self.sink(g)
         name = f"w{self.wave:05d}-h{int(g['url_hash'].to_numpy().min()):016x}"
-        rel = LanceLikeTable(self.table_path).write_fragment(t, name=name)
+        rel = LanceLikeTable(self.table_path, filesystem=self.fs).write_fragment(t, name=name)
         return result_row(self.src, -1, rel=rel, n1=t.num_rows)
 
 

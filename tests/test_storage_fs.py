@@ -61,6 +61,85 @@ class TestLanceLikeOnFsHandle:
         assert again.to_arrow()["y"].to_pylist() == ["a"]
 
 
+class TestCrawlOnLatencyFs:
+    def test_conformance_crawl_on_latency_fs_digest_identical(self, ray_session, tmp_path):
+        """VERDICT r3 task #6: a whole crawl driven end-to-end through a
+        non-local pyarrow.fs — a latency-injecting wrapper standing in for
+        an object store — must produce byte-identical tables to the same
+        crawl on the local filesystem (every store and remote task reads
+        and writes through the job's fs handle)."""
+        import numpy as np
+
+        from cloud_crawler_ray.pipelines import synthweb as sw
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+        from cloud_crawler_ray.sources.storage import LatencyFileSystemHandler
+
+        cfg = sw.WebConfig(n_hosts=8, pages_per_host=40, n_seed_hosts=4)
+        P, S, K, WAVES = 2, 1, 15, 3
+
+        def run(root, filesystem=None):
+            eng = CrawlEngine.start(
+                root, cfg, num_partitions=P, num_shards=S, wave_cap_per_partition=K,
+                filesystem=filesystem,
+            )
+            eng.run(max_waves=WAVES)
+            eng.shutdown_shards()
+            return eng
+
+        # latency wrapper over a SubTree root + a RELATIVE engine root: any
+        # code path that silently fell back to a bare LocalFileSystem would
+        # resolve 'lat_eng' against the cwd instead of the subtree and the
+        # run (or the digest compare) would fail — so this also proves every
+        # read/write goes through the job's handle
+        (tmp_path / "lat").mkdir()
+        lat_fs = pafs.PyFileSystem(
+            LatencyFileSystemHandler(
+                pafs.SubTreeFileSystem(str(tmp_path / "lat"), pafs.LocalFileSystem()), delay_ms=2.0
+            )
+        )
+        eng_lat = run("lat_eng", filesystem=lat_fs)
+        eng_loc = run(str(tmp_path / "loc" / "eng"))
+
+        cols = ["url_hash", "status", "depth", "attempt"]
+        fl = eng_lat.frontier.to_arrow(columns=cols)
+        fo = eng_loc.frontier.to_arrow(columns=cols)
+        order = np.argsort(fl["url_hash"].to_numpy(), kind="stable")
+        order2 = np.argsort(fo["url_hash"].to_numpy(), kind="stable")
+        for c in cols:
+            assert np.array_equal(fl[c].to_numpy()[order], fo[c].to_numpy()[order2]), c
+
+        ol, oo = eng_lat.crawl_order(), eng_loc.crawl_order()
+        assert ol.num_rows == oo.num_rows > 0
+        for c in ol.column_names:
+            assert ol[c].to_pylist() == oo[c].to_pylist(), c
+
+        il = eng_lat.images.to_arrow(columns=["image_id", "phash", "caption"])
+        io = eng_loc.images.to_arrow(columns=["image_id", "phash", "caption"])
+        sl = il.sort_by("image_id")
+        so = io.sort_by("image_id")
+        assert sl.equals(so)
+        assert sl.num_rows > 0
+
+    def test_resume_on_latency_fs(self, ray_session, tmp_path):
+        """Kill-resume through the non-local handle: reopening with the same
+        filesystem continues from the committed wave."""
+        from cloud_crawler_ray.pipelines import synthweb as sw
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+        from cloud_crawler_ray.sources.storage import LatencyFileSystemHandler
+
+        cfg = sw.WebConfig(n_hosts=6, pages_per_host=30, n_seed_hosts=3)
+        fs = pafs.PyFileSystem(LatencyFileSystemHandler(pafs.LocalFileSystem(), delay_ms=1.0))
+        root = str(tmp_path / "eng")
+        eng = CrawlEngine.start(root, cfg, num_partitions=2, num_shards=1, wave_cap_per_partition=10, filesystem=fs)
+        eng.run(max_waves=1)
+        eng.shutdown_shards()
+        eng2 = CrawlEngine.resume(root, filesystem=fs)
+        assert eng2.frontier.latest_wave() == 0
+        eng2.run(max_waves=2)
+        eng2.shutdown_shards()
+        assert eng2.frontier.latest_wave() == 1
+
+
 class TestFrontierStoreOnFsHandle:
     def test_initialize_delta_fold_take(self, subtree):
         seeds = _frontier_rows(10)
