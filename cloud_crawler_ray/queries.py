@@ -567,8 +567,10 @@ class _MinHashStage:
 def q_minhash_lsh_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidates: shingle→minhash→band→bucket groupby.
 
-    Returns candidate pairs (doc_a < doc_b) that share ≥1 LSH band bucket.
-    Non-SQL (rows-only); exactness of the LSH machinery is unit-tested.
+    Returns candidate pairs (doc_a < doc_b) that share ≥1 LSH band bucket,
+    with n_bands = how many of the 16 bands collide. Oracle-checked: the
+    whole shingle→signature→band-key pipeline is reproduced in DuckDB SQL
+    (see _minhash_oracle_sql) down to numpy's uint64 wraparound.
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(_MinHashStage, concurrency=_pool(), **_PA)
@@ -2466,6 +2468,16 @@ def _sql_mulmod(a: str, m: int) -> str:
     )
 
 
+def _sql_mulmod_vv(a: str, x: str) -> str:
+    """(a * x) mod 2^64 with BOTH operands variable UBIGINT columns, via the
+    same 32-bit limb split (a*xlo ≤ 2^96 and (a%2^32)*xhi ≤ 2^64 both fit
+    HUGEINT)."""
+    return (
+        f"CAST((CAST({a} AS HUGEINT)*({x} % 4294967296) + "
+        f"((CAST({a} AS HUGEINT) % 4294967296)*({x} >> 32)) % 4294967296 * 4294967296) % {_M64} AS UBIGINT)"
+    )
+
+
 def _sql_splitmix(p: str, x: str) -> str:
     """Lateral-alias chain: alias {p} = splitmix64({x}) (hashing.py:29)."""
     z0 = f"CAST((CAST({x} AS HUGEINT) + {_SM_GOLDEN}) % {_M64} AS UBIGINT)"
@@ -2487,12 +2499,12 @@ def _sql_word(j: int) -> str:
     return f"({terms})"
 
 
-def _sql_token_hash_ctes(src: str) -> str:
+def _sql_token_hash_ctes(src: str, max_words: int = _HASH_SQL_MAX_WORDS) -> str:
     """CTE chain hashing each (doc_id, i, t) row of {src} → tokhash(doc_id,
     i, th) with th = hash64(t) (hashing.py:60, seed 0): h = GOLDEN; for each
     of ceil(bytes/8) words: h = splitmix64(h ^ word); h = splitmix64(h ^
     bytelen)."""
-    W = _HASH_SQL_MAX_WORDS
+    W = max_words
     ctes = [
         f"tokh0 AS (SELECT doc_id, i, t, strlen(t) AS L, CAST((strlen(t)+7)//8 AS BIGINT) AS nw, "
         f"CASE WHEN strlen(t) > {8 * W} THEN CAST(error('token too long for SQL hash64 oracle') AS UBIGINT) "
@@ -2585,6 +2597,74 @@ ORACLE_SQL["fingerprint"] = f"""
     SELECT d.doc_id, {_SQL_SIGNED64} AS fingerprint
     FROM documents d LEFT JOIN vals v USING (doc_id)
 """
+
+# minhash_lsh_pairs (q_minhash_lsh_pairs / _MinHashStage → text.py:161-223):
+# the full shingle→signature→band-key→bucket pipeline in SQL. Shingles are
+# lowercase 3-gram token hashes (distinct; <3 tokens → one whole-text
+# shingle; empty → no shingles, signature pinned at 2^64-1). Signature p =
+# min over shingles s of ((a_p*s + b_p) mod 2^64) mod (2^61-1) — numpy
+# wraps the uint64 product BEFORE the Mersenne mod (text.py:201), so the
+# multiply is a variable-variable limb split, not plain HUGEINT math. Band
+# key = splitmix64 fold of the band's 8 signature rows seeded with GOLDEN,
+# finalized with band_id (text.py:210-213). Pair counts = bands with equal
+# keys, doc_a < doc_b — exactly the engine's bucket-groupby output.
+def _minhash_oracle_sql(num_perm: int = 128, num_bands: int = 16) -> str:
+    mh = T.MinHasher(num_perm=num_perm)
+    rows = num_perm // num_bands
+    perm_values = ", ".join(f"({p}, {int(mh.a[p])}, {int(mh.b[p])})" for p in range(num_perm))
+    pivot = ", ".join(f"max(CASE WHEN r = {r} THEN sig END) AS s{r}" for r in range(rows))
+    sig_cols = ", ".join(f"s{r}" for r in range(rows))
+    fold_ctes = [f"bf0 AS (SELECT doc_id, band_id, {sig_cols}, CAST({_SM_GOLDEN} AS UBIGINT) AS h0 FROM bp)"]
+    for r in range(rows):
+        fold_ctes.append(
+            f"bf{r + 1} AS (SELECT doc_id, band_id, {sig_cols}, "
+            + _sql_splitmix(f"h{r + 1}", f"xor(h{r}, s{r})")
+            + f" FROM bf{r})"
+        )
+    fold_ctes.append(
+        "bfk AS (SELECT doc_id, band_id, "
+        + _sql_splitmix("bkey", f"xor(h{rows}, CAST(band_id AS UBIGINT))")
+        + f" FROM bf{rows})"
+    )
+    folds = ", ".join(fold_ctes)
+    mers = (1 << 61) - 1
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, trim(lower(text)) AS tt FROM documents
+    ), tl AS (
+      SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
+    ), sh3 AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS i, ts[g.i] || ' ' || ts[g.i+1] || ' ' || ts[g.i+2] AS t
+      FROM tl, unnest(range(1, len(ts) - 1)) AS g(i) WHERE len(ts) >= 3
+    ), shsmall AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS i, array_to_string(ts, ' ') AS t FROM tl WHERE len(ts) BETWEEN 1 AND 2
+    ), tok AS (
+      SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall
+    ), {_sql_token_hash_ctes("tok", max_words=4)}, sh AS (
+      SELECT DISTINCT doc_id, th FROM tokhash
+    ), perms AS (
+      SELECT * FROM (VALUES {perm_values}) AS p(p, a, b)
+    ), sigs AS (
+      SELECT s.doc_id, p.p,
+             min(CAST((CAST({_sql_mulmod_vv("p.a", "s.th")} AS HUGEINT) + p.b) % {_M64} % {mers} AS UBIGINT)) AS sig
+      FROM sh s, perms p GROUP BY s.doc_id, p.p
+    ), esigs AS (
+      SELECT d.doc_id, p.p, CAST({_M64 - 1} AS UBIGINT) AS sig
+      FROM (SELECT doc_id FROM toks0 WHERE tt = '') d, perms p
+    ), allsigs AS (
+      SELECT * FROM sigs UNION ALL SELECT * FROM esigs
+    ), bandrows AS (
+      SELECT doc_id, p // {rows} AS band_id, p % {rows} AS r, sig FROM allsigs
+    ), bp AS (
+      SELECT doc_id, band_id, {pivot} FROM bandrows GROUP BY doc_id, band_id
+    ), {folds}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM bfk a JOIN bfk b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL["minhash_lsh_pairs"] = _minhash_oracle_sql()
 
 # Crawl-table oracles: the DuckDB side reads the parquet dump of the
 # single-process oracle simulator (pipelines/oracle.py), written by
