@@ -90,6 +90,19 @@ def _pool() -> tuple[int, int]:
     return (2, min(8, max(2, ncpu // 4)))
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, d) float64 matrix via one list_flatten —
+    no per-row Python objects (``to_pylist`` on a list column measured ~90×
+    slower at 2000×64). Assumes equal-length vectors; ragged input fails
+    loudly in the reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), np.float64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(len(col), -1)
+
+
 def _row_count(sf_dir: str, table: str) -> int:
     """Row count from parquet metadata (no data read) — used to size
     group-bucket counts so per-group work stays bounded as data grows
@@ -743,7 +756,7 @@ def q_embedding_topk(sf_dir: str):
             self.q = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            emb = np.array(t["embedding"].to_pylist(), np.float64)
+            emb = _emb_matrix(t["embedding"])
             norms = np.linalg.norm(emb, axis=1)
             sims = (emb @ self.q) / np.where(norms == 0, 1, norms)
             out = pa.table({"vec_id": t["vec_id"], "cos_sim": np.round(sims, 6)})
@@ -1756,7 +1769,7 @@ def _train_ivf_task(path: str, n_lists: int, cap: int):
     pf = pq.ParquetFile(path)
     got, n = [], 0
     for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
-        got.append(np.array(b["embedding"].to_pylist(), np.float64))
+        got.append(_emb_matrix(b["embedding"]))
         n += b.num_rows
         if n >= cap:
             break
@@ -1776,7 +1789,7 @@ def q_embedding_topk_ivf(sf_dir: str):
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
     )
-    q = np.array(qt["embedding"].to_pylist(), np.float64)[0]
+    q = _emb_matrix(qt["embedding"])[0]
     probed = set(index.probe_lists(q, nprobe).tolist())
     index_ref = ray.put(index)
     q_ref = ray.put(q / np.linalg.norm(q))
@@ -1788,7 +1801,7 @@ def q_embedding_topk_ivf(sf_dir: str):
             self.probed = probed
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            emb_b = np.array(t["embedding"].to_pylist(), np.float64)
+            emb_b = _emb_matrix(t["embedding"])
             lists = self.index.assign(emb_b)
             keep = np.isin(lists, list(self.probed)) & (t["vec_id"].to_numpy() != 0)
             emb_k = emb_b[keep]
