@@ -29,6 +29,13 @@ _OSES = [
 
 _VERSIONS = list(range(110, 126))
 
+# the whole matrix is only 4×4×16 = 256 strings — render it once so a batch
+# lookup is one fancy-index instead of len(batch) .format() calls
+_UA_TABLE = np.array(
+    [b[1].format(os=o, v=v) for b in _BROWSERS for o in _OSES for v in _VERSIONS],
+    dtype=object,
+)
+
 
 def user_agents(url_hashes: np.ndarray) -> list[str]:
     """Deterministic UA per url_hash from the browser × OS × version matrix."""
@@ -36,7 +43,4 @@ def user_agents(url_hashes: np.ndarray) -> list[str]:
     bi = (h % np.uint64(len(_BROWSERS))).astype(np.int64)
     oi = ((h >> np.uint64(8)) % np.uint64(len(_OSES))).astype(np.int64)
     vi = ((h >> np.uint64(16)) % np.uint64(len(_VERSIONS))).astype(np.int64)
-    return [
-        _BROWSERS[b][1].format(os=_OSES[o], v=_VERSIONS[v])
-        for b, o, v in zip(bi.tolist(), oi.tolist(), vi.tolist())
-    ]
+    return _UA_TABLE[(bi * len(_OSES) + oi) * len(_VERSIONS) + vi].tolist()

@@ -1057,10 +1057,15 @@ def _decile_band_filter(counted):
             self.bounds = ray.get(bounds_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            lo = np.array([self.bounds[x][0] for x in t["lang"].to_pylist()], np.int64)
-            hi = np.array([self.bounds[x][1] for x in t["lang"].to_pylist()], np.int64)
+            # dictionary-encode so the Python dict lookup runs once per
+            # DISTINCT lang (a handful), not once per row
+            enc = pc.dictionary_encode(t["lang"].combine_chunks())
+            uniq = enc.dictionary.to_pylist()
+            lo_u = np.array([self.bounds[x][0] for x in uniq], np.int64)
+            hi_u = np.array([self.bounds[x][1] for x in uniq], np.int64)
+            codes = enc.indices.to_numpy()
             n = t["n_tokens"].to_numpy()
-            return t.filter(pa.array((n >= lo) & (n <= hi)))
+            return t.filter(pa.array((n >= lo_u[codes]) & (n <= hi_u[codes])))
 
     return counted.map_batches(Filt, concurrency=_pool(), **_PA)
 
@@ -1900,7 +1905,7 @@ def q_frame_sample(sf_dir: str):
     frames = ds.map_batches(as_video, **_PA).map_batches(FrameSampleStage, batch_size=64, concurrency=_pool(), **_PA)
     return frames.map_batches(
         lambda t: pa.table({"video_id": t["video_id"], "frame_index": t["frame_index"],
-                            "frame_bytes": pa.array([len(b) for b in t["frame"].to_pylist()], pa.int64())}),
+                            "frame_bytes": pc.cast(pc.binary_length(t["frame"]), pa.int64())}),
         **_PA,
     )
 
