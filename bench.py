@@ -14,6 +14,10 @@ Modes:
                                  (2500 hosts x 400 pages, 45k seeds) —
                                  the larger-shape leg showing per-wave
                                  fixed costs amortized
+    python bench.py --scaling --large
+                                 the scaling proxy at the 10^6-URL shape
+                                 (longer waves amortize per-wave fixed
+                                 costs, the regime a real cluster runs in)
 
 This script OWNS its Ray session (init/shutdown) — library code never does.
 """
@@ -410,27 +414,55 @@ def scaling_run() -> dict:
         "identical_outputs": len(digests) == 1,
         "output_digest": r_hi["crawl"]["output_digest"],
         "sf": r_hi["sf"],
+        "shape": os.environ.get("GRAFT_BENCH_SHAPE", "default"),
     }
 
 
-if __name__ == "__main__":
-    if "--skew" in sys.argv:
+def _apply_shape_from_env() -> None:
+    """Crawl-shape override, carried in the environment so the fresh
+    subprocesses `--scaling` spawns run the same shape as the parent."""
+    shape = os.environ.get("GRAFT_BENCH_SHAPE", "")
+    if shape == "large":
+        # 10^6-URL universe leg: 2500 hosts × 400 pages, 45k seeds
+        CRAWL.update(n_hosts=2500, n_seed_hosts=2500, seeds_per_host=18, wave_cap_per_partition=3000)
+    elif shape == "skew":
         # hot-domain leg: 8 of 2000 hosts carry 8x the pages (and, being
         # seed hosts, 8x the early traffic) — evidence that per-(partition,
         # host) fan-out + uniform decode batches keep throughput flat under
         # domain skew (north_rule hot-domain salting)
         CRAWL.update(hot_hosts=tuple(f"host{i:03d}.example" for i in range(8)))
-        os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
-        result = full_run()
-    elif "--large" in sys.argv:
-        # 10^6-URL universe leg: 2500 hosts × 400 pages, 45k seeds
-        CRAWL.update(n_hosts=2500, n_seed_hosts=2500, seeds_per_host=18, wave_cap_per_partition=3000)
-        os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
-        result = full_run()
-    elif "--curate" in sys.argv:
+    elif shape == "tiny":
+        # smoke shape: verifies every bench path (incl. the --scaling
+        # subprocess legs) in seconds; not a measurement shape
+        CRAWL.update(
+            n_hosts=20,
+            pages_per_host=30,
+            n_seed_hosts=20,
+            seeds_per_host=4,
+            num_partitions=4,
+            num_shards=2,
+            wave_cap_per_partition=50,
+            max_waves=2,
+        )
+
+
+_apply_shape_from_env()
+
+if __name__ == "__main__":
+    if "--large" in sys.argv:
+        os.environ["GRAFT_BENCH_SHAPE"] = "large"
+    elif "--skew" in sys.argv:
+        os.environ["GRAFT_BENCH_SHAPE"] = "skew"
+    _apply_shape_from_env()
+    if "--curate" in sys.argv:
         result = run_curate()
     elif "--scaling" in sys.argv:
+        # composes with --large/--skew: the shape rides GRAFT_BENCH_SHAPE
+        # into each leg's subprocess
         result = scaling_run()
+    elif "--large" in sys.argv or "--skew" in sys.argv:
+        os.environ["GRAFT_BENCH_CRAWL_ONLY"] = "1"
+        result = full_run()
     else:
         result = full_run()
     print(json.dumps(result))
