@@ -44,4 +44,5 @@ def oracle_sql() -> dict[str, str]:
     # simulator; write it now so the SQL side works whichever side of the
     # compare the driver runs first
     q.ensure_crawl_oracle_dump()
+    q.ensure_phash_oracle_dump()
     return dict(q.ORACLE_SQL)

@@ -212,3 +212,16 @@ def synth_image(seed: int, w: int, h: int) -> np.ndarray:
     img = np.float32(127.5) + np.float32(90) * np.sin(arg)
     img += rng.standard_normal((h, w, 3), dtype=np.float32) * np.float32(8)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def doc_phash64(doc_id: int) -> int:
+    """The phash_neardup corpus definition: groups of 3 docs share a base
+    image (doc_id // 3) with increasing planted noise (doc_id % 3). One
+    shared definition so the Ray query and its DuckDB oracle dump hash the
+    identical pixels — the oracle then independently re-derives the LSH
+    banding / candidate join / Hamming verify in SQL."""
+    base = synth_image(doc_id // 3, 32, 32)
+    rng = np.random.Generator(np.random.PCG64(doc_id))
+    amp = 2 * (doc_id % 3)
+    noisy = np.clip(base.astype(np.int16) + rng.integers(-amp, amp + 1, base.shape), 0, 255)
+    return phash64(noisy.astype(np.uint8))

@@ -2282,24 +2282,23 @@ def q_phash_neardup(sf_dir: str):
     """Perceptual-hash near-dup detection over images — the north_star's
     image-dedup extension: phash per image (actor pool) → block by 16-bit
     phash bands (an LSH for Hamming space: near-dups share ≥1 band) →
-    verify pairs by full Hamming distance ≤ 8. Rows-only; the synthetic
-    image set plants true near-dups (groups of 3 share a base image with
-    increasing noise).
+    verify pairs by full Hamming distance ≤ 8. The synthetic image set
+    plants true near-dups (groups of 3 share a base image with increasing
+    noise — ``imaging.doc_phash64``). Oracle: the hash values ride a
+    parquet dump (the DCT is the shared definition, like the minhash
+    permutation constants); the SQL side independently re-derives the
+    band explode, candidate self-join, pair dedup and Hamming verify.
     """
     from .functions import imaging
     from .functions.text import hamming64
 
+    ensure_phash_oracle_dump()  # the DuckDB side of this query's compare
     ds = _read(sf_dir, "documents", ["doc_id"])
     n_buckets = max(64, _row_count(sf_dir, "documents") // 64)
 
     def make_and_hash(t: pa.Table) -> pa.Table:
-        ids, phs = [], []
-        for d in t["doc_id"].to_pylist():
-            base = imaging.synth_image(d // 3, 32, 32)  # 3 docs share a base image
-            rng = np.random.Generator(np.random.PCG64(d))
-            noisy = np.clip(base.astype(np.int16) + rng.integers(-2 * (d % 3), 2 * (d % 3) + 1, base.shape), 0, 255)
-            ids.append(np.int64(d))
-            phs.append(imaging.phash64(noisy.astype(np.uint8)))
+        ids = t["doc_id"].to_numpy()
+        phs = [imaging.doc_phash64(int(d)) for d in ids]
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "phash": pa.array(phs, pa.int64())})
 
     hashed = ds.map_batches(make_and_hash, batch_size=128, **_PA)
@@ -2345,6 +2344,64 @@ def q_phash_neardup(sf_dir: str):
 
 QUERIES["phash_neardup"] = q_phash_neardup
 
+_PHASH_DUMP_DIR = "/tmp/ccr_oracle_phash_v1"
+_PHASH_DUMP_DOCS = 5000  # covers documents at sf ≤ 0.1 (doc_id 0..n-1)
+
+
+def ensure_phash_oracle_dump() -> str:
+    """Dump (doc_id, phash) for the phash_neardup oracle. The DCT hash of
+    the planted image set is the shared definition (computable only in
+    numpy); the SQL oracle re-derives everything distributed — 16-bit band
+    explode, band-equality candidate join, pair dedup, Hamming-≤8 verify —
+    from this dump, with phash stored as uint64 so DuckDB's shifts are
+    logical. Idempotent; called from both the query path and
+    ``__ray_entry__.oracle_sql()`` so either side of the compare can run
+    first."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .functions.imaging import doc_phash64
+
+    d = _PHASH_DUMP_DIR
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    ids = np.arange(_PHASH_DUMP_DOCS, dtype=np.int64)
+    phs = np.array([doc_phash64(int(i)) for i in ids], dtype=np.int64)
+    tmp = tempfile.mkdtemp(prefix="ccr_oracle_phash_", dir="/tmp")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "phash": pa.array(phs.view(np.uint64), pa.uint64())}),
+        os.path.join(tmp, "phash.parquet"),
+    )
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent writer won the rename — theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+ORACLE_SQL["phash_neardup"] = f"""
+    WITH ph AS (
+        SELECT d.doc_id, p.phash
+        FROM read_parquet('{_PHASH_DUMP_DIR}/phash.parquet') p
+        JOIN documents d USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, phash, b, (phash >> (16 * b)) & 65535 AS key
+        FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.phash AS ph_a, b.phash AS ph_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 8
+"""
+
 
 def q_native_join(sf_dir: str):
     """Hash-partitioned large-large join via Ray Data's native ``Dataset.join``
@@ -2376,6 +2433,72 @@ def q_native_join(sf_dir: str):
         **_PA,
     )
 
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join — a custom-operator class Ray Data has no
+    native verb for: each event joins the band whose ``[lo, hi)`` interval
+    contains its value (IP→geo / price→tier lookups). Small side (25
+    contiguous bands derived from ``nation``) is broadcast once via
+    ``ray.put``; the probe is one ``np.searchsorted`` over the band edges
+    per batch plus ``bincount`` partial aggregation — no shuffle of the
+    fact table, O(n log r) per batch, and the exchange carries only
+    per-band partials. Values are aggregated as scaled int64 (2-decimal
+    domain) so sums are exact and summation-order-independent."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = nat.sort_values("n_nationkey")
+    keys = nat["n_nationkey"].to_numpy()
+    # searchsorted over one edge array requires contiguous bands; the SQL
+    # oracle's per-band [k*20, k*20+20) predicates agree only then
+    assert (keys == np.arange(len(keys))).all(), "nation keys not contiguous"
+    edges = np.append(keys * 20.0, keys[-1] * 20.0 + 20.0)
+    side_ref = ray.put((edges, nat["n_name"].to_numpy(object)))
+
+    class RangeJoinAgg:
+        def __init__(self):
+            self.edges, self.names = ray.get(side_ref)
+            self.n_bands = len(self.names)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy()
+            idx = np.searchsorted(self.edges, v, side="right") - 1
+            ok = (idx >= 0) & (idx < self.n_bands)
+            idx = idx[ok]
+            cents = np.round(v[ok] * 100).astype(np.int64)
+            n = np.bincount(idx, minlength=self.n_bands).astype(np.int64)
+            v2 = np.bincount(idx, weights=cents, minlength=self.n_bands).astype(np.int64)
+            hit = n > 0
+            return pa.table(
+                {
+                    "band": pa.array(self.names[hit], pa.string()),
+                    "partial_n": pa.array(n[hit]),
+                    "partial_v2": pa.array(v2[hit]),
+                }
+            )
+
+    ev = _read(sf_dir, "events", ["value"])
+    partials = ev.map_batches(RangeJoinAgg, concurrency=_pool(), **_PA)
+    agg = partials.groupby("band").aggregate(
+        Sum("partial_n", alias_name="n"), Sum("partial_v2", alias_name="v2")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"band": t["band"], "n": t["n"], "sum_value": pc.divide(pc.cast(t["v2"], pa.float64()), 100.0)}
+        ),
+        **_PA,
+    )
+
+
+QUERIES["range_join"] = q_range_join
+ORACLE_SQL["range_join"] = """
+    WITH bands AS (
+        SELECT n_name AS band, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 20.0 AS hi
+        FROM nation
+    )
+    SELECT b.band, count(*) AS n,
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+"""
 
 QUERIES["native_join"] = q_native_join
 ORACLE_SQL["native_join"] = """

@@ -182,3 +182,30 @@ def test_dedup_shard_grows_past_initial_capacity(ray_session):
         assert stats["cuckoo_load"] < 0.9
     finally:
         ray.kill(shard)
+
+
+def test_crawl_order_ds_streams_sorted_with_preserve_order(engine_result):
+    """Pins the crawl_order_ds consumption contract (wave.py docstring +
+    bench.py's digest loop): with ``preserve_order = True`` the streamed
+    batches arrive in the global (wave, vtime, url_hash) order, i.e.
+    concatenating them reproduces driver-side crawl_order() exactly, with
+    fetch_seq implied by stream position."""
+    import pyarrow as pa
+    import ray
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        cols = ["wave", "vtime", "url_hash"]
+        batches = list(
+            engine_result.crawl_order_ds(columns=cols).iter_batches(
+                batch_size=64, batch_format="pyarrow"
+            )
+        )
+    finally:
+        ctx.execution_options.preserve_order = saved
+    streamed = pa.concat_tables([b.select(cols) for b in batches])
+    expect = engine_result.crawl_order().select(cols)
+    assert streamed.num_rows == expect.num_rows
+    assert streamed.equals(expect)
