@@ -994,6 +994,83 @@ def q_top_terms(sf_dir: str):
     return agg.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(topk, batch_format="pandas")
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 distinguishing terms per document by TF-IDF — the relevance /
+    quality-signal staple: corpus-wide document frequencies are a SMALL
+    aggregate, broadcast once and joined back to per-doc term counts, so
+    the corpus itself is never shuffled by token.
+
+    Scoring uses the integer-exact idf' = 1/df (``score = tf·10^6 // df``,
+    same floor division both sides) so the DuckDB oracle is bit-checkable;
+    a log-idf variant is the one-line ``np.log(N/df)`` change. The DF pass
+    re-runs the (cheap, streaming) tokenize rather than pinning the
+    token-level dataset in the object store. Per-doc top-k finalizes via
+    the bucketed vectorized pattern (one pandas pass per bucket, not one
+    dispatch per doc).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(toks)
+        rep = pc.list_parent_indices(toks)
+        one = pa.table({"doc_id": pc.take(t["doc_id"], rep), "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        # a doc's text is one row, so its term counts complete in-batch
+        g = one.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "token", "tf"])
+
+    tf = ds.map_batches(explode_tf, **_PA)
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "partial_df"])
+
+    df_tbl = (
+        ds.map_batches(explode_tf, **_PA)
+        .map_batches(partial_df, **_PA)
+        .groupby("token")
+        .aggregate(Sum("partial_df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put((df_tbl["token"].to_numpy(object), df_tbl["df"].to_numpy(np.int64)))
+
+    class Score:
+        def __init__(self):
+            toks, dfs = ray.get(df_ref)
+            order = np.argsort(toks)
+            self.toks, self.dfs = toks[order], dfs[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tok = t["token"].to_numpy(zero_copy_only=False)
+            dfv = self.dfs[np.searchsorted(self.toks, tok)]
+            tfv = t["tf"].to_numpy().astype(np.int64)
+            doc = t["doc_id"].to_numpy()
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc),
+                    "token": t["token"],
+                    "tf": pa.array(tfv),
+                    "df": pa.array(dfv),
+                    "score": pa.array(tfv * 1_000_000 // dfv),
+                    "bucket": pa.array((doc % 64).astype(np.int64)),
+                }
+            )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"], ascending=[True, False, True], kind="stable")
+        out = g.groupby("doc_id", sort=False).head(3)
+        return out[["doc_id", "token", "tf", "df", "score"]]
+
+    return (
+        tf.map_batches(Score, concurrency=_pool(), **_PA)
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_length_filter(sf_dir: str):
     """Percentile length filter — the Gopher/CCNet-style quality gate: per
     language, keep documents whose token count lies within the [p10, p90]
@@ -1360,6 +1437,7 @@ QUERIES = {
     "embedding_dedup_groups": q_embedding_dedup_groups,
     "sample_split": q_sample_split,
     "top_terms": q_top_terms,
+    "tfidf_topk": q_tfidf_topk,
     "length_filter": q_length_filter,
     "chunk_dedup": q_chunk_dedup,
     "repetition_score": q_repetition_score,
@@ -1651,6 +1729,24 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn
           FROM dfreq
         ) WHERE rn <= 5
+    """,
+    "tfidf_topk": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM documents WHERE trim(text) <> ''
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+          GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY token
+        )
+        SELECT doc_id, token, tf, df, score FROM (
+          SELECT t.doc_id, t.token, t.tf, d.df, (t.tf * 1000000) // d.df AS score,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY (t.tf * 1000000) // d.df DESC, t.token) AS rn
+          FROM tf t JOIN dfreq d USING (token)
+        ) WHERE rn <= 3
     """,
 }
 
