@@ -47,17 +47,25 @@ def resumable_write(
     out_dir: str,
     partitions: Iterable[object],
     filesystem=None,
+    file_format: str = "parquet",
 ) -> dict:
-    """Write one parquet directory per partition, skipping finished ones.
+    """Write one directory per partition, skipping finished ones.
 
     ``make_ds(part)`` → ray.data.Dataset for that partition. Directory
-    layout: ``out_dir/part=<part>/*.parquet`` + ``_SUCCESS`` (written only
+    layout: ``out_dir/part=<part>/*.<ext>`` + ``_SUCCESS`` (written only
     after the partition's write completed — the commit point). Returns
     {"written": [...], "skipped": [...]}. Safe to re-run after any crash:
     a partition directory without its marker is overwritten from scratch.
+
+    ``file_format="jsonl"`` writes newline-delimited JSON shards (the
+    training-corpus handoff format) with the identical marker discipline —
+    for text/metadata exports only (binary columns are not JSON-safe);
+    parquet remains the default for typed/columnar output.
     """
     from pyarrow import fs as pafs
 
+    if file_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown file_format {file_format!r} (parquet|jsonl)")
     fs, root = resolve_fs(out_dir, filesystem)
     fs.create_dir(root, recursive=True)
     written, skipped = [], []
@@ -70,14 +78,17 @@ def resumable_write(
         if fs.get_file_info(pdir).type != pafs.FileType.NotFound:
             fs.delete_dir_contents(pdir, missing_dir_ok=True)
         ds = make_ds(part)
-        ds.write_parquet(pdir, filesystem=fs)
+        if file_format == "parquet":
+            ds.write_parquet(pdir, filesystem=fs)
+        else:
+            ds.write_json(pdir, filesystem=fs)
         with fs.open_output_stream(_marker(pdir)) as f:
             f.write(b"")  # marker-last = the partition's commit point
         written.append(part)
     return {"written": written, "skipped": skipped}
 
 
-def read_partitioned(out_dir: str, filesystem=None):
+def read_partitioned(out_dir: str, filesystem=None, file_format: str = "parquet"):
     """Streaming read of every COMMITTED partition (marker present)."""
     import ray.data as rd
     from pyarrow import fs as pafs
@@ -88,10 +99,13 @@ def read_partitioned(out_dir: str, filesystem=None):
     committed = [d for d in sorted(dirs) if fs.get_file_info(_marker(d)).type != pafs.FileType.NotFound]
     if not committed:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    ext = {"parquet": ".parquet", "jsonl": ".json"}[file_format]
     files = [
         i.path
         for d in committed
         for i in fs.get_file_info(pafs.FileSelector(d))
-        if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        if i.type == pafs.FileType.File and i.path.endswith(ext)
     ]
+    if file_format == "jsonl":
+        return rd.read_json(files, filesystem=fs)
     return rd.read_parquet(files, filesystem=fs)

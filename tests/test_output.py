@@ -119,3 +119,27 @@ class TestResumableWrite:
         the directory layout and break the marker/commit discipline."""
         with pytest.raises(ValueError, match="not path-safe"):
             resumable_write(_lang_ds, str(tmp_path / "out"), [bad])
+
+
+class TestJsonlFormat:
+    def test_jsonl_round_trip_with_marker_skip(self, ray_session, tmp_path):
+        """jsonl shards carry the identical marker discipline: a second run
+        skips every committed partition, and the committed union round-trips
+        through read_partitioned(file_format='jsonl')."""
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "out")
+        res1 = resumable_write(_lang_ds, out, LANGS, file_format="jsonl")
+        assert sorted(res1["written"]) == sorted(LANGS)
+        res2 = resumable_write(_lang_ds, out, LANGS, file_format="jsonl")
+        assert sorted(res2["skipped"]) == sorted(LANGS) and not res2["written"]
+
+        got = read_partitioned(out, file_format="jsonl").to_pandas()[["doc_id", "lang"]]
+        want = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_unknown_format_rejected(self, ray_session, tmp_path):
+        with pytest.raises(ValueError, match="file_format"):
+            resumable_write(_lang_ds, str(tmp_path / "o"), ["en"], file_format="csv")
