@@ -1288,6 +1288,44 @@ def q_hash_sample(sf_dir: str):
     return ds.map_batches(local_bottomk, **_PA).sort(["sample_key", "doc_id"]).limit(k)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified sample: bottom-20-per-language by the same Knuth PRF —
+    the per-stratum variant of ``hash_sample`` (fixed k per group
+    regardless of group skew, e.g. equal-sized eval sets per language).
+    Mergeable and RNG-free: each batch keeps its local per-lang bottom-k
+    (vectorized pandas sort + head, one pass per batch), and since langs
+    are low-cardinality a single group task finalizes all strata — the
+    exchange carries at most k rows per (lang, batch)."""
+    k = 20
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "doc_id": t["doc_id"].to_numpy(),
+                "sample_key": _knuth_key(t["doc_id"].to_numpy()).astype(np.int64),
+            }
+        )
+        df = df.sort_values(["lang", "sample_key", "doc_id"], kind="stable")
+        out = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(np.zeros(t.num_rows, np.int32), pa.int32()))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "sample_key", "doc_id"], kind="stable")
+        return g.groupby("lang", sort=False).head(k)[["lang", "doc_id", "sample_key"]]
+
+    return (
+        ds.map_batches(local_bottomk, **_PA)
+        .map_batches(add_bucket, **_PA)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def q_repetition_score(sf_dir: str):
     """Within-document trigram repetition ratio — the Gopher-style "repeated
     n-gram" quality rule: 1 − distinct_trigrams / total_trigrams per doc
@@ -1442,6 +1480,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "repetition_score": q_repetition_score,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -1682,6 +1721,18 @@ ORACLE_SQL = {
         FROM documents
         ORDER BY sample_key, doc_id
         LIMIT 100
+    """,
+    "stratified_sample": """
+        SELECT lang, doc_id, sample_key FROM (
+          SELECT lang, doc_id,
+                 CAST(((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                       % 4294967296) AS BIGINT) AS sample_key,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                             % 4294967296), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 20
     """,
     "repetition_score": """
         WITH s AS (
