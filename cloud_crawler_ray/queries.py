@@ -468,6 +468,37 @@ def q_running_sum(sf_dir: str):
     return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(run_bucket, batch_format="pandas")
 
 
+def q_sliding_avg(sf_dir: str):
+    """Sliding-window aggregate: 3-row moving average of event value per
+    user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the sliding
+    complement of the tumbling ``windowed_agg``. Same bucketed dispatch as
+    ``running_sum``; inside a bucket the window is two vectorized
+    shifted-compares (no per-group Python, no pandas .rolling dispatch).
+    Values aggregate as exact cents; the single float division at the end
+    is performed identically on both sides, so the oracle is
+    bit-checkable."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(t["user_id"].to_numpy() % 64, pa.int32()))
+
+    def win_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        c = np.round(g["value"].to_numpy() * 1e2).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        same1 = np.concatenate([[False], u[1:] == u[:-1]])
+        same2 = np.concatenate([[False, False], u[2:] == u[:-2]]) if len(u) > 1 else np.zeros(len(u), bool)
+        prev1 = np.concatenate([[0], c[:-1]])
+        prev2 = np.concatenate([[0, 0], c[:-2]]) if len(c) > 1 else np.zeros(len(c), np.int64)
+        wsum = c + prev1 * same1 + prev2 * same2
+        wn = 1 + same1.astype(np.int64) + same2.astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": u, "avg3": wsum / (wn * 100.0)}
+        )
+
+    return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(win_bucket, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # Text analysis (documents)
 # --------------------------------------------------------------------------
@@ -1461,6 +1492,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_prev_event": q_asof_prev_event,
     "running_sum": q_running_sum,
+    "sliding_avg": q_sliding_avg,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
@@ -1582,6 +1614,13 @@ ORACLE_SQL = {
                          ORDER BY l_linenumber, CAST(round(l_quantity * 100) AS BIGINT)
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_qty
         FROM lineitem
+    """,
+    "sliding_avg": """
+        SELECT event_id, user_id,
+               sum(c) OVER w / (count(*) OVER w * 100.0) AS avg3
+        FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "token_count": """
         SELECT doc_id,
