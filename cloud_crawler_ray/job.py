@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU cap (ignored on a cluster)")
     p.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the curation flagship (filter→dedup→split) over --sf-dir "
+        "instead of a crawl, writing the corpus under --root via the "
+        "resumable partitioned sink (re-running skips committed buckets)",
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="--curate input tables dir")
+    p.add_argument("--buckets", type=int, default=16, help="--curate output hash buckets")
+    p.add_argument("--format", default="parquet", choices=("parquet", "jsonl"), help="--curate shard format")
+    p.add_argument(
         "--task-types",
         default=None,
         help="comma-separated task-type names → one sub-job per type under --root, "
@@ -64,6 +74,30 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     try:
+        if args.curate:
+            from . import queries as q
+            from .sources.output import resumable_write
+
+            make_ds, curated = q.curation_bucket_writer(args.sf_dir, args.buckets)
+            res = resumable_write(
+                make_ds, args.root, range(args.buckets), file_format=args.format
+            )
+            print(
+                json.dumps(
+                    {
+                        "event": "summary",
+                        "mode": "curate",
+                        "out": args.root,
+                        "format": args.format,
+                        "buckets": args.buckets,
+                        "written": len(res["written"]),
+                        "skipped": len(res["skipped"]),
+                        "docs_out": curated.count(),
+                    }
+                )
+            )
+            return 0
+
         from .pipelines import synthweb as sw
         from .pipelines.api import CrawlJobConfig, run_crawl, run_multi_crawl
 

@@ -74,6 +74,24 @@ class TestJobCLI:
         waves = [json.loads(line)["wave"] for line in out2.strip().splitlines() if '"wave"' in line and '"event": "wave"' in line]
         assert all(w >= 2 for w in waves)
 
+    def test_job_cli_curate_mode_writes_then_skips(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        root = str(tmp_path / "corpus")
+        cmd = [sys.executable, "-m", "cloud_crawler_ray.job", "--root", root,
+               "--curate", "--sf-dir", "/root/testdata/sf0.001", "--buckets", "4",
+               "--format", "jsonl", "--num-cpus", "4"]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", check=True).stdout
+        s1 = json.loads(out.strip().splitlines()[-1])
+        assert s1["mode"] == "curate" and s1["written"] == 4 and s1["skipped"] == 0
+        assert s1["docs_out"] > 0
+        # a re-submitted job skips every committed bucket
+        out2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", check=True).stdout
+        s2 = json.loads(out2.strip().splitlines()[-1])
+        assert s2["written"] == 0 and s2["skipped"] == 4 and s2["docs_out"] == s1["docs_out"]
+
 
 class TestMultiTaskType:
     """Multi task-type dispatch (QueueTaskServiceImpl.scala:32-66 analog):
