@@ -468,6 +468,60 @@ def q_running_sum(sf_dir: str):
     return ds.map_batches(add_bucket, **_PA).groupby("bucket").map_groups(run_bucket, batch_format="pandas")
 
 
+def q_zscore(sf_dir: str):
+    """Per-group z-score normalization (feature-scaling staple): population
+    z of event value within its event_type. Group moments (sum, count, sum
+    of squares) are EXACT int64 aggregates over cents — a tiny table,
+    broadcast back over the stream — and the score is computed as
+    ``(c·n − S) / sqrt(n·Q − S²)``: all integer arithmetic until one IEEE
+    divide + sqrt performed identically on both sides, so the oracle is
+    bit-checkable (no float accumulation order anywhere). The stats pass
+    re-reads the (column-pruned) input rather than pinning it. Undefined
+    (±inf/nan) for zero-variance groups, as in SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial_moments(t: pa.Table) -> pa.Table:
+        c = np.round(t["value"].to_numpy() * 1e2).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "c": c, "c2": c * c}
+        )
+        out = (
+            df.groupby("event_type", sort=False)
+            .agg(s=("c", "sum"), n=("c", "count"), q=("c2", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (
+        ds.map_batches(partial_moments, **_PA)
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"), Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    ref = ray.put(
+        {r.event_type: (int(r.s), int(r.n), int(r.q)) for r in stats.itertuples()}
+    )
+
+    class Z:
+        def __init__(self):
+            lk = ray.get(ref)
+            self.types = np.array(sorted(lk), object)
+            m = np.array([lk[t] for t in self.types], np.int64)
+            self.s, self.n, self.q = m[:, 0], m[:, 1], m[:, 2]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(self.types, et)
+            c = np.round(t["value"].to_numpy() * 1e2).astype(np.int64)
+            zn = c * self.n[i] - self.s[i]
+            zd = self.n[i] * self.q[i] - self.s[i] * self.s[i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = zn.astype(np.float64) / np.sqrt(zd.astype(np.float64))
+            return pa.table({"event_id": t["event_id"], "event_type": t["event_type"], "z": pa.array(z)})
+
+    return ds.map_batches(Z, concurrency=_pool(), **_PA)
+
+
 def q_sliding_avg(sf_dir: str):
     """Sliding-window aggregate: 3-row moving average of event value per
     user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the sliding
@@ -1493,6 +1547,7 @@ QUERIES = {
     "asof_prev_event": q_asof_prev_event,
     "running_sum": q_running_sum,
     "sliding_avg": q_sliding_avg,
+    "zscore": q_zscore,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
     "text_quality": q_text_quality,
@@ -1621,6 +1676,17 @@ ORACLE_SQL = {
         FROM (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "zscore": """
+        WITH c AS (
+          SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+        ), a AS (
+          SELECT event_type, sum(c) AS s, count(*) AS n, sum(c * c) AS q
+          FROM c GROUP BY event_type
+        )
+        SELECT c.event_id, c.event_type,
+               CAST(c.c * a.n - a.s AS DOUBLE) / sqrt(CAST(a.n * a.q - a.s * a.s AS DOUBLE)) AS z
+        FROM c JOIN a USING (event_type)
     """,
     "token_count": """
         SELECT doc_id,
