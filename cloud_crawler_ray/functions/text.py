@@ -30,7 +30,9 @@ STOPWORDS = {
 
 
 def ws_tokens(text: str) -> list[str]:
-    """Whitespace tokens — semantics match SQL string_split_regex(trim(t),'\\s+')."""
+    """Whitespace tokens — semantics match the SQL-oracle form
+    ``string_split_regex(regexp_replace(t, '^\\s+|\\s+$', '', 'g'), '\\s+')``
+    (a space-only ``trim()`` would diverge on edge tabs/newlines)."""
     t = text.strip()
     return _WS_RE.split(t) if t else []
 

@@ -240,7 +240,6 @@ class CrawlEngine:
         pipeline: CrawlPipeline | None = None,
         filesystem=None,
     ):
-        self.root = root
         self.cfg = cfg
         self.P = num_partitions
         self.S = num_shards
@@ -253,14 +252,17 @@ class CrawlEngine:
         # one pyarrow.fs handle for the whole job (None → local); every
         # store and remote task reads/writes through it, so a crawl runs
         # unchanged against any non-local backend (tests drive this with a
-        # latency-injecting wrapper — sources/storage.py)
+        # latency-injecting wrapper — sources/storage.py). self.root is the
+        # NORMALIZED path (a URI root like s3://bucket/crawl resolves to
+        # its fs + scheme-less path here, once, for every child store and
+        # every config/manifest access)
         from ..sources.storage import resolve_fs
 
-        self.fs, _ = resolve_fs(root, filesystem)
-        self.frontier = FrontierStore(os.path.join(root, "frontier"), num_partitions, filesystem=filesystem)
-        self.images = LanceLikeTable(os.path.join(root, "images"), filesystem=filesystem)  # parsed table
-        self.raw = LanceLikeTable(os.path.join(root, "raw"), filesystem=filesystem)
-        self.order = LanceLikeTable(os.path.join(root, "order"), filesystem=filesystem)
+        self.fs, self.root = resolve_fs(root, filesystem)
+        self.frontier = FrontierStore(os.path.join(self.root, "frontier"), num_partitions, filesystem=self.fs)
+        self.images = LanceLikeTable(os.path.join(self.root, "images"), filesystem=self.fs)  # parsed table
+        self.raw = LanceLikeTable(os.path.join(self.root, "raw"), filesystem=self.fs)
+        self.order = LanceLikeTable(os.path.join(self.root, "order"), filesystem=self.fs)
         self.shards: list | None = None
 
     # ------------------------------------------------------------ lifecycle
@@ -271,10 +273,10 @@ class CrawlEngine:
 
         eng = cls(root, cfg, **kw)
         fs = eng.fs
-        fs.create_dir(root, recursive=True)
+        fs.create_dir(eng.root, recursive=True)
         write_json_atomic(
             fs,
-            os.path.join(root, "config.json"),
+            os.path.join(eng.root, "config.json"),
             {
                 "cfg": eng.cfg.__dict__ | {"hot_hosts": list(eng.cfg.hot_hosts)},
                 "num_partitions": eng.P,
@@ -305,7 +307,7 @@ class CrawlEngine:
         for non-local roots, the same ``filesystem`` handle."""
         from ..sources.storage import read_json, resolve_fs
 
-        rfs, _ = resolve_fs(root, filesystem)
+        rfs, root = resolve_fs(root, filesystem)
         c = read_json(rfs, os.path.join(root, "config.json"))
         raw = dict(c["cfg"])
         raw["hot_hosts"] = tuple(raw.get("hot_hosts", ()))
@@ -320,7 +322,7 @@ class CrawlEngine:
             decode_batch_size=c.get("decode_batch_size", 64),
             compact_files=c.get("compact_files", 8),
             pipeline=pipeline,
-            filesystem=filesystem,
+            filesystem=rfs,  # root is already normalized — don't re-resolve a URI as local
         )
         stored = c.get("task_type")
         if stored is not None and eng.pipeline.task_type != stored:

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .functions import text as T
 from .functions.hashing import hash64
@@ -475,19 +475,23 @@ def q_zscore(sf_dir: str):
     broadcast back over the stream — and the score is computed as
     ``(c·n − S) / sqrt(n·Q − S²)``: all integer arithmetic until one IEEE
     divide + sqrt performed identically on both sides, so the oracle is
-    bit-checkable (no float accumulation order anywhere). The stats pass
-    re-reads the (column-pruned) input rather than pinning it. Undefined
-    (±inf/nan) for zero-variance groups, as in SQL."""
+    bit-checkable (no float accumulation order anywhere). ``n·Q − S²`` is
+    evaluated per group in arbitrary-precision Python ints (it exceeds
+    int64 past ~60k rows/group; DuckDB's side is HUGEINT) and the per-row
+    ``c·n − S`` is overflow-GUARDED via the tracked max |c| — a group too
+    large for the int64 row path raises loudly instead of wrapping to NaN.
+    The stats pass re-reads the (column-pruned) input rather than pinning
+    it. Undefined (±inf/nan) for zero-variance groups, as in SQL."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def partial_moments(t: pa.Table) -> pa.Table:
         c = np.round(t["value"].to_numpy() * 1e2).astype(np.int64)
         df = pd.DataFrame(
-            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "c": c, "c2": c * c}
+            {"event_type": t["event_type"].to_numpy(zero_copy_only=False), "c": c, "c2": c * c, "a": np.abs(c)}
         )
         out = (
             df.groupby("event_type", sort=False)
-            .agg(s=("c", "sum"), n=("c", "count"), q=("c2", "sum"))
+            .agg(s=("c", "sum"), n=("c", "count"), q=("c2", "sum"), m=("a", "max"))
             .reset_index()
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -495,28 +499,43 @@ def q_zscore(sf_dir: str):
     stats = (
         ds.map_batches(partial_moments, **_PA)
         .groupby("event_type")
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"), Sum("q", alias_name="q"))
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("n", alias_name="n"),
+            Sum("q", alias_name="q"),
+            Max("m", alias_name="m"),
+        )
         .to_pandas()
     )
-    ref = ray.put(
-        {r.event_type: (int(r.s), int(r.n), int(r.q)) for r in stats.itertuples()}
-    )
+    lk = {}
+    for r in stats.itertuples():
+        s, n, q, m = int(r.s), int(r.n), int(r.q), int(r.m)
+        if m * n + abs(s) >= 2**63:
+            raise ValueError(
+                f"zscore group {r.event_type!r} too large for the int64 row path "
+                f"(max|c|·n + |S| ≥ 2^63); shard the group or widen the row kernel"
+            )
+        # n·Q − S² in exact Python ints (wraps int64 past ~60k rows/group),
+        # then one correctly-rounded int→double conversion + IEEE sqrt —
+        # identical to DuckDB's HUGEINT → DOUBLE → sqrt
+        lk[r.event_type] = (s, n, float(np.sqrt(np.float64(n * q - s * s))))
+    ref = ray.put(lk)
 
     class Z:
         def __init__(self):
             lk = ray.get(ref)
             self.types = np.array(sorted(lk), object)
-            m = np.array([lk[t] for t in self.types], np.int64)
-            self.s, self.n, self.q = m[:, 0], m[:, 1], m[:, 2]
+            self.s = np.array([lk[t][0] for t in self.types], np.int64)
+            self.n = np.array([lk[t][1] for t in self.types], np.int64)
+            self.sqrtzd = np.array([lk[t][2] for t in self.types], np.float64)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             et = t["event_type"].to_numpy(zero_copy_only=False)
             i = np.searchsorted(self.types, et)
             c = np.round(t["value"].to_numpy() * 1e2).astype(np.int64)
             zn = c * self.n[i] - self.s[i]
-            zd = self.n[i] * self.q[i] - self.s[i] * self.s[i]
             with np.errstate(divide="ignore", invalid="ignore"):
-                z = zn.astype(np.float64) / np.sqrt(zd.astype(np.float64))
+                z = zn.astype(np.float64) / self.sqrtzd[i]
             return pa.table({"event_id": t["event_id"], "event_type": t["event_type"], "z": pa.array(z)})
 
     return ds.map_batches(Z, concurrency=_pool(), **_PA)
@@ -1335,8 +1354,8 @@ def curation_bucket_writer(sf_dir: str, num_buckets: int = 16):
     only the unfinished buckets on resume (bench.py --curate exercises the
     kill-resume path; tests/test_output.py asserts resumed == uninterrupted).
     """
-    if num_buckets & (num_buckets - 1):
-        raise ValueError("num_buckets must be a power of two")
+    if num_buckets <= 0 or num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a positive power of two")
     curated = q_curation_pipeline(sf_dir).materialize()
     mask = num_buckets - 1
 
@@ -1690,8 +1709,8 @@ ORACLE_SQL = {
     """,
     "token_count": """
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+               CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                    ELSE array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens
         FROM documents
     """,
     "bpe_token_count": """
@@ -1757,8 +1776,8 @@ ORACLE_SQL = {
     "length_filter": """
         WITH n_t AS (
             SELECT doc_id, lang,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                        ELSE array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens
             FROM documents
         ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS r,
@@ -1777,8 +1796,8 @@ ORACLE_SQL = {
     "curation_pipeline": """
         WITH n_t AS (
             SELECT doc_id, lang, text,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                        ELSE array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens
             FROM documents
         ), ranked AS (
             SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS r,
@@ -1793,8 +1812,8 @@ ORACLE_SQL = {
             FROM n_t t JOIN bounds b USING (lang)
             WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
         ), s AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM len_ok WHERE len(trim(text)) > 0
+            SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+            FROM len_ok WHERE len(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
         ), g AS (
             SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i FROM s WHERE len(toks) >= 3
         ), tri AS (
@@ -1841,8 +1860,8 @@ ORACLE_SQL = {
     """,
     "repetition_score": """
         WITH s AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents WHERE trim(text) <> ''
+            SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+            FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
         ), g AS (
             SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
             FROM s WHERE len(toks) >= 3
@@ -1858,8 +1877,8 @@ ORACLE_SQL = {
     """,
     "chunk_dedup": """
         WITH s AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents WHERE trim(text) <> ''
+            SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+            FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
         ), c AS (
             SELECT doc_id, toks,
                    unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS k
@@ -1873,8 +1892,8 @@ ORACLE_SQL = {
     "top_terms": """
         WITH toks AS (
           SELECT doc_id, lang,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-          FROM documents WHERE trim(text) <> ''
+                 unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
         ), dist AS (
           SELECT DISTINCT lang, doc_id, token FROM toks WHERE token <> ''
         ), dfreq AS (
@@ -1889,8 +1908,8 @@ ORACLE_SQL = {
     "tfidf_topk": """
         WITH toks AS (
           SELECT doc_id,
-                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-          FROM documents WHERE trim(text) <> ''
+                 unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+          FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
         ), tf AS (
           SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
           GROUP BY doc_id, token
@@ -1916,7 +1935,12 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "text_hash": hash64(t["text"]),
+                # 128-bit key (two independent 64-bit hashes), matching
+                # q_curation_pipeline: at 64 bits a corpus-scale collision
+                # would Min each payload column independently across two
+                # different texts and emit a chimera row
+                "h1": pa.array(hash64(t["text"]).view(np.int64), pa.int64()),
+                "h2": pa.array(hash64(t["text"], seed=1).view(np.int64), pa.int64()),
                 "n_tokens": T.ws_token_count(texts),
                 "quality": np.round(T.quality_score(texts), 6),
                 "lang_pred": T.lang_id(texts),
@@ -1926,10 +1950,10 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
     # keep-first dedup as a plain hash aggregate (VERDICT r3 #3 — the old
     # per-group map_groups paid one pandas dispatch per distinct text):
     # every payload column is a pure function of text, hence constant
-    # within a text_hash group, so per-column Min IS the arg-min row
+    # within a (h1, h2) group, so per-column Min IS the arg-min row
     scored = ds.map_batches(score, **_PA)
     return (
-        scored.groupby("text_hash")
+        scored.groupby(["h1", "h2"])
         .aggregate(
             Min("doc_id", alias_name="doc_id"),
             Min("n_tokens", alias_name="n_tokens"),
@@ -2178,6 +2202,31 @@ _CRAWL_Q_SHAPE = dict(
 _ORACLE_DUMP_DIR = "/tmp/ccr_oracle_crawl_v1"
 
 
+def _atomic_dump_dir(dest: str, write_fn) -> str:
+    """Shared idempotent-dump protocol for the oracle parquet dumps:
+    _SUCCESS short-circuit, write into a fresh tmp dir via ``write_fn(tmp)``,
+    marker-last, atomic rename into place; a concurrent writer losing the
+    rename discards its (identical) tmp. NOTE: the dest dir name is the
+    version fingerprint — bump its ``_v<N>`` suffix whenever the dumped
+    shape/content definition changes, or a stale /tmp dump from the old
+    definition will be reused."""
+    import os
+    import tempfile
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest) or "/tmp")
+    write_fn(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, dest)
+    except OSError:  # concurrent writer won the rename — theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
 def ensure_crawl_oracle_dump() -> str:
     """Run the single-process oracle simulator (pipelines/oracle.py — the
     independent reference implementation of the crawl semantics) at the
@@ -2189,50 +2238,42 @@ def ensure_crawl_oracle_dump() -> str:
     compare can run first. url_hash is reinterpreted uint64→int64 at write
     time (same bit pattern the queries expose)."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    d = _ORACLE_DUMP_DIR
-    if os.path.exists(os.path.join(d, "_SUCCESS")):
-        return d
-    from .pipelines import oracle
-    from .pipelines import synthweb as sw
+    def write(tmp: str) -> None:
+        from .pipelines import oracle
+        from .pipelines import synthweb as sw
 
-    c = _CRAWL_Q_SHAPE
-    cfg = sw.WebConfig(n_hosts=c["n_hosts"], pages_per_host=c["pages_per_host"], n_seed_hosts=c["n_seed_hosts"])
-    res = oracle.run_oracle(
-        cfg,
-        num_partitions=c["num_partitions"],
-        wave_cap_per_partition=c["wave_cap_per_partition"],
-        max_waves=c["max_waves"],
-    )
-    tmp = tempfile.mkdtemp(prefix="ccr_oracle_dump_", dir="/tmp")
+        c = _CRAWL_Q_SHAPE
+        cfg = sw.WebConfig(
+            n_hosts=c["n_hosts"], pages_per_host=c["pages_per_host"], n_seed_hosts=c["n_seed_hosts"]
+        )
+        res = oracle.run_oracle(
+            cfg,
+            num_partitions=c["num_partitions"],
+            wave_cap_per_partition=c["wave_cap_per_partition"],
+            max_waves=c["max_waves"],
+        )
 
-    def _i64(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("url_hash")
-        return t.set_column(i, "url_hash", pa.array(t["url_hash"].to_numpy().view(np.int64)))
+        def _i64(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("url_hash")
+            return t.set_column(i, "url_hash", pa.array(t["url_hash"].to_numpy().view(np.int64)))
 
-    pq.write_table(
-        _i64(res.order.select(["fetch_seq", "wave", "vtime", "url_hash", "host", "ua", "proxy_id"])),
-        os.path.join(tmp, "order.parquet"),
-    )
-    pq.write_table(
-        _i64(res.frontier.select(["url_hash", "status", "depth", "attempt"])),
-        os.path.join(tmp, "seen_set.parquet"),
-    )
-    pq.write_table(
-        res.images.select(["image_id", "w", "h", "fmt", "caption", "phash"]),
-        os.path.join(tmp, "images.parquet"),
-    )
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.rename(tmp, d)
-    except OSError:  # concurrent writer won the rename — theirs is identical
-        import shutil
+        pq.write_table(
+            _i64(res.order.select(["fetch_seq", "wave", "vtime", "url_hash", "host", "ua", "proxy_id"])),
+            os.path.join(tmp, "order.parquet"),
+        )
+        pq.write_table(
+            _i64(res.frontier.select(["url_hash", "status", "depth", "attempt"])),
+            os.path.join(tmp, "seen_set.parquet"),
+        )
+        pq.write_table(
+            res.images.select(["image_id", "w", "h", "fmt", "caption", "phash"]),
+            os.path.join(tmp, "images.parquet"),
+        )
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return d
+    return _atomic_dump_dir(_ORACLE_DUMP_DIR, write)
 
 
 def _small_crawl(sf_dir: str):
@@ -2544,9 +2585,16 @@ def q_phash_neardup(sf_dir: str):
     from .functions import imaging
     from .functions.text import hamming64
 
+    n_docs = _row_count(sf_dir, "documents")
+    if n_docs > _PHASH_DUMP_DOCS:
+        raise ValueError(
+            f"documents has {n_docs} rows but the phash oracle dump covers doc_id < "
+            f"{_PHASH_DUMP_DOCS}; raise _PHASH_DUMP_DOCS (and bump _PHASH_DUMP_DIR's _v "
+            "suffix) or the SQL side silently under-covers"
+        )
     ensure_phash_oracle_dump()  # the DuckDB side of this query's compare
     ds = _read(sf_dir, "documents", ["doc_id"])
-    n_buckets = max(64, _row_count(sf_dir, "documents") // 64)
+    n_buckets = max(64, n_docs // 64)
 
     def make_and_hash(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -2610,30 +2658,20 @@ def ensure_phash_oracle_dump() -> str:
     ``__ray_entry__.oracle_sql()`` so either side of the compare can run
     first."""
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from .functions.imaging import doc_phash64
 
-    d = _PHASH_DUMP_DIR
-    if os.path.exists(os.path.join(d, "_SUCCESS")):
-        return d
-    ids = np.arange(_PHASH_DUMP_DOCS, dtype=np.int64)
-    phs = np.array([doc_phash64(int(i)) for i in ids], dtype=np.int64)
-    tmp = tempfile.mkdtemp(prefix="ccr_oracle_phash_", dir="/tmp")
-    pq.write_table(
-        pa.table({"doc_id": pa.array(ids), "phash": pa.array(phs.view(np.uint64), pa.uint64())}),
-        os.path.join(tmp, "phash.parquet"),
-    )
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.rename(tmp, d)
-    except OSError:  # concurrent writer won the rename — theirs is identical
-        import shutil
+    def write(tmp: str) -> None:
+        ids = np.arange(_PHASH_DUMP_DOCS, dtype=np.int64)
+        phs = np.array([doc_phash64(int(i)) for i in ids], dtype=np.int64)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids), "phash": pa.array(phs.view(np.uint64), pa.uint64())}),
+            os.path.join(tmp, "phash.parquet"),
+        )
 
-        shutil.rmtree(tmp, ignore_errors=True)
-    return d
+    return _atomic_dump_dir(_PHASH_DUMP_DIR, write)
 
 
 ORACLE_SQL["phash_neardup"] = f"""
@@ -2782,8 +2820,8 @@ def _frame_bytes_const() -> int:
 ORACLE_SQL["ngram_jaccard_dedup"] = """
     WITH toks AS (
       SELECT doc_id, lang, source,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+             CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t
       FROM documents
     ), grams AS (
       -- 3-token shingles, distinct (jaccard over distinct shingle strings ==
@@ -2810,8 +2848,8 @@ ORACLE_SQL["ngram_jaccard_dedup"] = """
 ORACLE_SQL["lang_id"] = f"""
     WITH toks AS (
       SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+')) END AS t
+             CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS t
       FROM documents
     ), scored AS (
       SELECT doc_id, text, s.lang, len(list_intersect(t, s.words)) AS score
@@ -2924,7 +2962,7 @@ _SQL_SIGNED64 = f"CAST(CASE WHEN coalesce(v.v, 0) >= {_M64 // 2} THEN CAST(coale
 # the low bits.
 ORACLE_SQL["simhash"] = f"""
     WITH toks0 AS (
-      SELECT doc_id, trim(lower(text)) AS tt FROM documents
+      SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS tt FROM documents
     ), tl AS (
       SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
     ), tok AS (
@@ -2951,7 +2989,7 @@ ORACLE_SQL["simhash"] = f"""
 # window (min of the whole roll); n<4 → sum of splitmix64(token hashes).
 ORACLE_SQL["fingerprint"] = f"""
     WITH toks0 AS (
-      SELECT doc_id, trim(text) AS tt FROM documents
+      SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tt FROM documents
     ), tl AS (
       SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
     ), tok AS (
@@ -3023,7 +3061,7 @@ def _minhash_oracle_sql(num_perm: int = 128, num_bands: int = 16) -> str:
     mers = (1 << 61) - 1
     return f"""
     WITH toks0 AS (
-      SELECT doc_id, trim(lower(text)) AS tt FROM documents
+      SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS tt FROM documents
     ), tl AS (
       SELECT doc_id, string_split_regex(tt, '\\s+') AS ts FROM toks0 WHERE tt <> ''
     ), sh3 AS (

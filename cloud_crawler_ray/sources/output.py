@@ -72,6 +72,7 @@ def resumable_write(
     for part in partitions:
         pdir = pp.join(root, _part_dirname(part))
         if fs.get_file_info(_marker(pdir)).type != pafs.FileType.NotFound:
+            _check_marker_format(fs, pdir, file_format)
             skipped.append(part)
             continue
         # a torn previous attempt leaves files without the marker: clear it
@@ -83,9 +84,22 @@ def resumable_write(
         else:
             ds.write_json(pdir, filesystem=fs)
         with fs.open_output_stream(_marker(pdir)) as f:
-            f.write(b"")  # marker-last = the partition's commit point
+            # marker-last = the partition's commit point; its content records
+            # the shard format so a resume/read with a different format fails
+            # loudly instead of silently skipping/dropping committed shards
+            f.write(file_format.encode())
         written.append(part)
     return {"written": written, "skipped": skipped}
+
+
+def _check_marker_format(fs, pdir: str, file_format: str) -> None:
+    with fs.open_input_stream(_marker(pdir)) as f:
+        recorded = f.read().decode() or "parquet"  # empty marker: pre-format layout
+    if recorded != file_format:
+        raise ValueError(
+            f"partition {pdir} was committed as {recorded!r} but this run asked for "
+            f"{file_format!r}; refusing to mix shard formats in one output"
+        )
 
 
 def read_partitioned(out_dir: str, filesystem=None, file_format: str = "parquet"):
@@ -99,6 +113,8 @@ def read_partitioned(out_dir: str, filesystem=None, file_format: str = "parquet"
     committed = [d for d in sorted(dirs) if fs.get_file_info(_marker(d)).type != pafs.FileType.NotFound]
     if not committed:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    for d in committed:
+        _check_marker_format(fs, d, file_format)
     ext = {"parquet": ".parquet", "jsonl": ".json"}[file_format]
     files = [
         i.path

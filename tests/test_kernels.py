@@ -173,3 +173,23 @@ class TestText:
         f1 = text.doc_fingerprint(["a b c d e f g h", "short"])
         f2 = text.doc_fingerprint(["a b c d e f g h", "short"])
         assert np.array_equal(f1, f2)
+
+
+def test_sql_tokenize_matches_ws_tokens_on_edge_whitespace():
+    """The oracle-side tokenize (whitespace-regex trim + \\s+ split) must
+    agree with the engine's ws_tokens for texts with NON-SPACE edge
+    whitespace — a space-only SQL trim() leaves '\\n'/'\\t' attached and
+    injects empty tokens into hash folds (simhash/fingerprint/minhash)."""
+    import duckdb
+
+    from cloud_crawler_ray.functions.text import ws_tokens
+
+    texts = ["a b c\n", "\tx  y", " ", "", "a\nb", "  lead", "trail\t", "\n\n", "one"]
+    con = duckdb.connect()
+    for t in texts:
+        got = con.execute(
+            "SELECT CASE WHEN regexp_replace(?, '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE string_split_regex(regexp_replace(?, '^\\s+|\\s+$', '', 'g'), '\\s+') END",
+            [t, t],
+        ).fetchone()[0]
+        assert list(got) == ws_tokens(t), f"divergence for {t!r}: {got} vs {ws_tokens(t)}"

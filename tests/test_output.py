@@ -143,3 +143,14 @@ class TestJsonlFormat:
     def test_unknown_format_rejected(self, ray_session, tmp_path):
         with pytest.raises(ValueError, match="file_format"):
             resumable_write(_lang_ds, str(tmp_path / "o"), ["en"], file_format="csv")
+
+    def test_mixed_format_resume_and_read_fail_loudly(self, ray_session, tmp_path):
+        """The _SUCCESS marker records the shard format: resuming or reading
+        a committed partition with a DIFFERENT format raises instead of
+        silently skipping (resume) or dropping (read) committed shards."""
+        out = str(tmp_path / "out")
+        resumable_write(_lang_ds, out, ["en"], file_format="parquet")
+        with pytest.raises(ValueError, match="committed as 'parquet'"):
+            resumable_write(_lang_ds, out, ["en", "de"], file_format="jsonl")
+        with pytest.raises(ValueError, match="committed as 'parquet'"):
+            read_partitioned(out, file_format="jsonl")

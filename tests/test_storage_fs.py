@@ -175,3 +175,25 @@ class TestFrontierStoreOnFsHandle:
         assert store.latest_wave() == -1
         folded = fold_paths(store.partition_files()[0], filesystem=store.fs)
         assert (folded["status"].to_numpy() == 0).all()
+
+
+class TestUriRoot:
+    def test_engine_accepts_uri_root(self, ray_session, tmp_path):
+        """A URI root (file://...) resolves ONCE at the engine boundary:
+        start, run, and resume all work with the scheme-ful form, and
+        every child store/config access uses the normalized path (the
+        s3://bucket/... case follows the identical resolve_fs path)."""
+        from cloud_crawler_ray.pipelines import synthweb as sw
+        from cloud_crawler_ray.pipelines.wave import CrawlEngine
+
+        plain = str(tmp_path / "job_uri")
+        root = "file://" + plain
+        cfg = sw.WebConfig(n_hosts=6, pages_per_host=30, n_seed_hosts=3)
+        eng = CrawlEngine.start(root, cfg, num_partitions=2, num_shards=1, wave_cap_per_partition=10)
+        assert eng.root == plain  # normalized, not the URI
+        eng.run(max_waves=1)
+        eng.shutdown_shards()
+        eng2 = CrawlEngine.resume(root)
+        assert eng2.root == plain
+        assert eng2.frontier.to_arrow().num_rows > 0
+        eng2.shutdown_shards()
