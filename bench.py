@@ -313,10 +313,13 @@ def run_curate() -> dict:
 
         n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
         buckets = 16
-        out_a = "/dev/shm/graft_bench_curate_a"
-        out_b = "/dev/shm/graft_bench_curate_b"
-        for d in (out_a, out_b):
-            shutil.rmtree(d, ignore_errors=True)
+        # own tempdirs (not fixed paths): concurrent bench invocations must
+        # not corrupt each other's legs, and cleanup only removes what this
+        # run created
+        import tempfile
+
+        out_a = tempfile.mkdtemp(prefix="graft_bench_curate_a_", dir="/dev/shm")
+        out_b = tempfile.mkdtemp(prefix="graft_bench_curate_b_", dir="/dev/shm")
 
         # leg 1: uninterrupted run (timed)
         t0 = time.time()

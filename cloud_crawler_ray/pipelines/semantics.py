@@ -23,12 +23,14 @@ Rules pinned here:
     TasksBatchController.scala:183-198);
 (e) a per-call fetch_timeout expiry routes the abandoned row as io_error
     AND ends the host's wave — the abandoned daemon thread may still hold
-    a request to this host in flight, so fetching the next row would put
-    two concurrent requests on one host and break the politeness
-    serialization rules (b)/(c) guarantee. Remaining rows stay WAIT
-    untouched, exactly like a circuit-breaker trip (the reference kills
-    the whole batch controller on its execution timeout,
-    WorkerManager.scala:85-96).
+    a request to this host in flight, so fetching the next row in the SAME
+    wave would put two concurrent requests on one host. This is an
+    intra-wave guarantee only: the abandoned thread can outlive the wave,
+    so the next wave's first fetch to that host may still overlap it —
+    the same envelope as the reference, which kills the whole batch
+    controller on its execution timeout and re-queues the host for the
+    next batch (WorkerManager.scala:85-96). Remaining rows stay WAIT
+    untouched, exactly like a circuit-breaker trip.
 """
 
 from __future__ import annotations
@@ -290,9 +292,10 @@ def fetch_host_wave(
                 tripped = True
         if abandoned:
             # rule (e): the abandoned thread may still hold a request to
-            # this host in flight — stop the host's wave here so two
-            # requests are never concurrently in flight on one host
-            # (remaining rows stay WAIT untouched, like a breaker trip)
+            # this host in flight — stop the host's wave here so this wave
+            # issues no further request to the host (intra-wave exclusion
+            # only; see module docstring). Remaining rows stay WAIT
+            # untouched, like a breaker trip.
             break
 
     return HostWaveResult(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import numpy as np
 import pandas as pd
@@ -110,6 +111,28 @@ def _row_count(sf_dir: str, table: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+def _col_max(sf_dir: str, table: str, col: str) -> int:
+    """Max of an int column from parquet row-group statistics (no data read);
+    falls back to a single-column scan when stats are absent. Used by the
+    dump-oracle coverage guards — coverage is about the VALUE domain (e.g.
+    max doc_id), not the row count (ADVICE r4: a small table with sparse
+    large ids must still trip the guard loudly)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    idx = f.schema_arrow.get_field_index(col)
+    mx = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mx = None
+            break
+        mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:  # stats missing — scan just this column
+        mx = pc.max(pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])[col]).as_py()
+    return int(mx)
 
 
 # --------------------------------------------------------------------------
@@ -2199,24 +2222,60 @@ _CRAWL_Q_SHAPE = dict(
     n_hosts=10, pages_per_host=100, n_seed_hosts=5,
     num_partitions=4, num_shards=2, wave_cap_per_partition=25, max_waves=4,
 )
-_ORACLE_DUMP_DIR = "/tmp/ccr_oracle_crawl_v1"
+def _dump_dir_for(name: str, fingerprint) -> str:
+    """Content-addressed oracle-dump directory (ADVICE r4, medium).
+
+    The directory NAME carries a hash of the dump definition (shape dict +
+    an explicit definition-version token), so any semantics/shape change
+    gets a fresh directory automatically — no hand-bumped ``_v`` suffixes
+    whose omission silently reuses a stale dump. The root is per-user
+    (``$TMPDIR/ccr_oracle_<user>``, created 0700) so a predictable
+    world-writable /tmp path can't be pre-planted by another local user."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ccr_oracle_{getpass.getuser()}")
+    fp = hashlib.sha256(repr((name, fingerprint)).encode()).hexdigest()[:16]
+    return os.path.join(root, f"{name}_{fp}")
 
 
 def _atomic_dump_dir(dest: str, write_fn) -> str:
     """Shared idempotent-dump protocol for the oracle parquet dumps:
-    _SUCCESS short-circuit, write into a fresh tmp dir via ``write_fn(tmp)``,
-    marker-last, atomic rename into place; a concurrent writer losing the
-    rename discards its (identical) tmp. NOTE: the dest dir name is the
-    version fingerprint — bump its ``_v<N>`` suffix whenever the dumped
-    shape/content definition changes, or a stale /tmp dump from the old
-    definition will be reused."""
-    import os
+    manifest-validated _SUCCESS short-circuit, write into a fresh tmp dir
+    via ``write_fn(tmp)``, manifest + marker last, atomic rename into
+    place; a concurrent writer losing the rename discards its (identical)
+    tmp. ``dest`` must come from ``_dump_dir_for`` (content-addressed name
+    = definition version). An existing dump is sanity-checked against its
+    manifest (per-file row counts + schema) and a mismatch raises loudly —
+    a corrupt or planted dump must never silently become the correctness
+    gate's reference data (ADVICE r4)."""
+    import json as _json
     import tempfile
 
+    import pyarrow.parquet as pq
+
+    def _manifest_of(d: str) -> dict:
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(d, fn))
+                out[fn] = {"rows": md.num_rows, "schema": str(pq.read_schema(os.path.join(d, fn)))}
+        return out
+
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        recorded = _json.load(open(os.path.join(dest, "MANIFEST.json")))
+        actual = _manifest_of(dest)
+        if recorded != actual:
+            raise ValueError(
+                f"oracle dump {dest} does not match its manifest (corrupt or tampered); "
+                "delete the directory and re-run"
+            )
         return dest
-    tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest) or "/tmp")
+    os.makedirs(os.path.dirname(dest), mode=0o700, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest))
     write_fn(tmp)
+    _json.dump(_manifest_of(tmp), open(os.path.join(tmp, "MANIFEST.json"), "w"))
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, dest)
@@ -2225,6 +2284,9 @@ def _atomic_dump_dir(dest: str, write_fn) -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+_ORACLE_DUMP_DIR = _dump_dir_for("crawl", ("defn-v1", sorted(_CRAWL_Q_SHAPE.items())))
 
 
 def ensure_crawl_oracle_dump() -> str:
@@ -2586,11 +2648,12 @@ def q_phash_neardup(sf_dir: str):
     from .functions.text import hamming64
 
     n_docs = _row_count(sf_dir, "documents")
-    if n_docs > _PHASH_DUMP_DOCS:
+    max_id = _col_max(sf_dir, "documents", "doc_id")
+    if max_id >= _PHASH_DUMP_DOCS:
         raise ValueError(
-            f"documents has {n_docs} rows but the phash oracle dump covers doc_id < "
-            f"{_PHASH_DUMP_DOCS}; raise _PHASH_DUMP_DOCS (and bump _PHASH_DUMP_DIR's _v "
-            "suffix) or the SQL side silently under-covers"
+            f"documents has max(doc_id)={max_id} but the phash oracle dump covers doc_id < "
+            f"{_PHASH_DUMP_DOCS}; raise _PHASH_DUMP_DOCS or the SQL side's join silently "
+            "drops the uncovered docs (coverage is the id DOMAIN, not the row count)"
         )
     ensure_phash_oracle_dump()  # the DuckDB side of this query's compare
     ds = _read(sf_dir, "documents", ["doc_id"])
@@ -2644,8 +2707,8 @@ def q_phash_neardup(sf_dir: str):
 
 QUERIES["phash_neardup"] = q_phash_neardup
 
-_PHASH_DUMP_DIR = "/tmp/ccr_oracle_phash_v1"
-_PHASH_DUMP_DOCS = 5000  # covers documents at sf ≤ 0.1 (doc_id 0..n-1)
+_PHASH_DUMP_DOCS = 5000  # covers documents with doc_id < 5000 (sf ≤ 0.1)
+_PHASH_DUMP_DIR = _dump_dir_for("phash", ("defn-v1", _PHASH_DUMP_DOCS))
 
 
 def ensure_phash_oracle_dump() -> str:

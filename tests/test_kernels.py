@@ -193,3 +193,39 @@ def test_sql_tokenize_matches_ws_tokens_on_edge_whitespace():
             [t, t],
         ).fetchone()[0]
         assert list(got) == ws_tokens(t), f"divergence for {t!r}: {got} vs {ws_tokens(t)}"
+
+
+def test_atomic_dump_dir_manifest_detects_tampering(tmp_path):
+    """A dump whose parquet content no longer matches its MANIFEST.json must
+    raise loudly instead of silently becoming the oracle's reference data
+    (ADVICE r4: /tmp dumps at predictable paths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cloud_crawler_ray.queries import _atomic_dump_dir
+
+    dest = str(tmp_path / "dump_abc")
+
+    def write(tmp):
+        pq.write_table(pa.table({"x": [1, 2, 3]}), f"{tmp}/x.parquet")
+
+    assert _atomic_dump_dir(dest, write) == dest
+    # idempotent reuse validates and passes
+    assert _atomic_dump_dir(dest, write) == dest
+    # tamper: replace the file with different content
+    pq.write_table(pa.table({"x": [9]}), f"{dest}/x.parquet")
+    with pytest.raises(ValueError, match="manifest"):
+        _atomic_dump_dir(dest, write)
+
+
+def test_dump_dir_name_tracks_definition():
+    """Changing the dump definition fingerprint must change the directory —
+    the content-addressed replacement for hand-bumped _v suffixes."""
+    from cloud_crawler_ray.queries import _dump_dir_for
+
+    a = _dump_dir_for("thing", ("v1", 5000))
+    b = _dump_dir_for("thing", ("v2", 5000))
+    c = _dump_dir_for("thing", ("v1", 6000))
+    assert len({a, b, c}) == 3
+    assert _dump_dir_for("thing", ("v1", 5000)) == a
