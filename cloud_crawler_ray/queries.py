@@ -113,6 +113,27 @@ def _row_count(sf_dir: str, table: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
 
 
+_SIDE_TABLE_CACHE: dict[tuple, str] = {}
+
+
+def _parquet_side_table(cache_key: tuple, make_ds) -> str:
+    """Persist an intermediate dataset to a parquet side table and stream
+    its consumers from it — the scale-safe alternative to ``.materialize()``
+    for full-corpus intermediates (VERDICT r4 #4): a materialize pins every
+    block in the object store for the pipeline's lifetime, while a side
+    table costs one streaming write and each consumer re-reads row groups
+    lazily with normal backpressure. Cached per (name, input) within the
+    process so repeated query construction reuses one write."""
+    if cache_key in _SIDE_TABLE_CACHE:
+        return _SIDE_TABLE_CACHE[cache_key]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ccr_side_")
+    make_ds().write_parquet(d)
+    _SIDE_TABLE_CACHE[cache_key] = d
+    return d
+
+
 def _col_max(sf_dir: str, table: str, col: str) -> int:
     """Max of an int column from parquet row-group statistics (no data read);
     falls back to a single-column scan when stats are absent. Used by the
@@ -780,7 +801,14 @@ def q_ngram_jaccard_dedup(sf_dir: str):
             }
         )
 
-    sets = ds.map_batches(shingle_sets, **_PA).materialize()
+    # shingle-set blobs are LARGER than the text itself — persist them to a
+    # parquet side table once and stream all three consumers (prefix
+    # explode + both verify-join sides) from it, instead of pinning the
+    # whole corpus's sets in the object store (VERDICT r4 #4)
+    sets_dir = _parquet_side_table(
+        ("ngram_sets", os.path.realpath(sf_dir)), lambda: ds.map_batches(shingle_sets, **_PA)
+    )
+    sets = rd.read_parquet(sets_dir)
 
     def explode_prefix(t: pa.Table) -> pa.Table:
         # prefix length |A| - ceil(t·|A|) + 1 per doc; empty docs bucket
@@ -987,13 +1015,25 @@ def neardup_pairs_block(ids: np.ndarray, emb: np.ndarray, tau: float = 0.3, ch: 
     return ids[a_pos], ids[b_pos], svals
 
 
+# per-label embedding block cap for q_embedding_neardup: one label's
+# float64 embedding matrix must fit comfortably in a worker task heap
+_NEARDUP_MAX_BLOCK_BYTES = 1 << 30
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs, blocked by label (sim ≥ 0.3).
 
     Per label group: complete spherical-k-means candidate blocking + exact
     verify (neardup_pairs_block) — O(n^1.5·d)-ish FLOPs with no false
     negatives (the property test proves pair-set equality vs brute force),
-    chunked matmuls bounding peak memory at O(512·n·8)."""
+    chunked matmuls bounding peak memory at O(512·n·8).
+
+    One label = one pandas task, so a pathologically hot label would load
+    its whole embedding block into a single worker heap — guarded loudly
+    (``_NEARDUP_MAX_BLOCK_BYTES``, VERDICT r4 #6, same fail-loud style as
+    the zscore overflow guard): past the bound the right move is salting
+    the hot label into sub-blocks plus a cross-block probe pass, which
+    changes the shuffle plan and must be an explicit decision, not an OOM."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
@@ -1001,6 +1041,15 @@ def q_embedding_neardup(sf_dir: str):
         order = np.argsort(ids)
         ids = ids[order]
         emb = np.array(g["embedding"].tolist(), np.float64)[order]
+        if emb.nbytes > _NEARDUP_MAX_BLOCK_BYTES:
+            lbl = g["label"].iloc[0] if len(g) else "?"
+            raise ValueError(
+                f"embedding_neardup: label {lbl!r} has {len(ids)} rows "
+                f"({emb.nbytes >> 20} MiB of embeddings) — exceeds the per-label "
+                f"block bound ({_NEARDUP_MAX_BLOCK_BYTES >> 20} MiB); salt this "
+                "label into sub-blocks with a cross-block probe pass instead of "
+                "letting one task hold the whole block"
+            )
         a, b, s = neardup_pairs_block(ids, emb)
         return pd.DataFrame({
             "vec_a": pd.Series(a, dtype=np.int64),
@@ -1131,14 +1180,21 @@ def q_tfidf_topk(sf_dir: str):
     same floor division both sides) so the DuckDB oracle is bit-checkable;
     a log-idf variant is the one-line ``np.log(N/df)`` change. The DF pass
     re-runs the (cheap, streaming) tokenize rather than pinning the
-    token-level dataset in the object store. Per-doc top-k finalizes via
-    the bucketed vectorized pattern (one pandas pass per bucket, not one
+    token-level dataset in the object store, and tf ⋈ df is a DISTRIBUTED
+    hash join on token (VERDICT r4 #3: the corpus vocabulary over web-scale
+    text is unbounded — typos, URLs, numbers — so it must never be pulled
+    to the driver or broadcast whole). Per-doc top-k finalizes via the
+    bucketed vectorized pattern (one pandas pass per bucket, not one
     dispatch per doc).
+
+    Tokenize trims ASCII whitespace only (RE2 ``\\s`` = ``[ \\t\\n\\f\\r]``),
+    matching the DuckDB oracle's regexp trim exactly — Unicode-aware
+    ``utf8_trim_whitespace`` diverges on e.g. U+00A0 edges (ADVICE r4).
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode_tf(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        trimmed = pc.utf8_trim(pc.utf8_lower(t["text"]), " \t\n\f\r")
         toks = pc.split_pattern_regex(trimmed, r"\s+")
         flat = pc.list_flatten(toks)
         rep = pc.list_parent_indices(toks)
@@ -1155,36 +1211,29 @@ def q_tfidf_topk(sf_dir: str):
         g = t.group_by("token").aggregate([([], "count_all")])
         return g.rename_columns(["token", "partial_df"])
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(explode_tf, **_PA)
         .map_batches(partial_df, **_PA)
         .groupby("token")
         .aggregate(Sum("partial_df", alias_name="df"))
-        .to_pandas()
     )
-    df_ref = ray.put((df_tbl["token"].to_numpy(object), df_tbl["df"].to_numpy(np.int64)))
+    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    joined = tf.join(df_ds, join_type="inner", num_partitions=n_parts, on=("token",))
 
-    class Score:
-        def __init__(self):
-            toks, dfs = ray.get(df_ref)
-            order = np.argsort(toks)
-            self.toks, self.dfs = toks[order], dfs[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            tok = t["token"].to_numpy(zero_copy_only=False)
-            dfv = self.dfs[np.searchsorted(self.toks, tok)]
-            tfv = t["tf"].to_numpy().astype(np.int64)
-            doc = t["doc_id"].to_numpy()
-            return pa.table(
-                {
-                    "doc_id": pa.array(doc),
-                    "token": t["token"],
-                    "tf": pa.array(tfv),
-                    "df": pa.array(dfv),
-                    "score": pa.array(tfv * 1_000_000 // dfv),
-                    "bucket": pa.array((doc % 64).astype(np.int64)),
-                }
-            )
+    def score_batch(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy().astype(np.int64)
+        dfv = t["df"].to_numpy().astype(np.int64)
+        doc = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "token": t["token"],
+                "tf": pa.array(tfv),
+                "df": pa.array(dfv),
+                "score": pa.array(tfv * 1_000_000 // dfv),
+                "bucket": pa.array((doc % 64).astype(np.int64)),
+            }
+        )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "score", "token"], ascending=[True, False, True], kind="stable")
@@ -1192,7 +1241,7 @@ def q_tfidf_topk(sf_dir: str):
         return out[["doc_id", "token", "tf", "df", "score"]]
 
     return (
-        tf.map_batches(Score, concurrency=_pool(), **_PA)
+        joined.map_batches(score_batch, **_PA)
         .groupby("bucket")
         .map_groups(topk, batch_format="pandas")
     )
@@ -1225,9 +1274,11 @@ def q_length_filter(sf_dir: str):
     return _decile_band_filter(counted)
 
 
-def _decile_band_filter(counted):
-    """Keep rows inside each lang's [p10, p90] nearest-rank token band:
-    histogram partial agg → KB-sized bounds table → broadcast filter."""
+def _decile_bounds(counted):
+    """Per-lang [p10, p90] nearest-rank token bounds from a STREAMING pass
+    over a (…, lang, n_tokens) dataset: histogram partial agg → KB-sized
+    bounds dict in the object store. Returns an ObjectRef to
+    {lang: (lo, hi)} — the input dataset is consumed once, never pinned."""
 
     def partial_hist(t: pa.Table) -> pa.Table:
         g = t.select(["lang", "n_tokens"]).group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
@@ -1254,24 +1305,35 @@ def _decile_band_filter(counted):
         lo = int(ns[np.searchsorted(cum, lo_r + 1)])
         hi = int(ns[np.searchsorted(cum, hi_r + 1)])
         bounds[lang] = (lo, hi)
-    bounds_ref = ray.put(bounds)
+    return ray.put(bounds)
 
-    class Filt:
-        def __init__(self):
-            self.bounds = ray.get(bounds_ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # dictionary-encode so the Python dict lookup runs once per
-            # DISTINCT lang (a handful), not once per row
-            enc = pc.dictionary_encode(t["lang"].combine_chunks())
-            uniq = enc.dictionary.to_pylist()
-            lo_u = np.array([self.bounds[x][0] for x in uniq], np.int64)
-            hi_u = np.array([self.bounds[x][1] for x in uniq], np.int64)
-            codes = enc.indices.to_numpy()
-            n = t["n_tokens"].to_numpy()
-            return t.filter(pa.array((n >= lo_u[codes]) & (n <= hi_u[codes])))
+class _BandFilter:
+    """Actor-pool stage: keep rows whose n_tokens lies in their lang's
+    broadcast [lo, hi] band (bounds fetched once per actor)."""
 
-    return counted.map_batches(Filt, concurrency=_pool(), **_PA)
+    def __init__(self, bounds_ref):
+        self.bounds = ray.get(bounds_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # dictionary-encode so the Python dict lookup runs once per
+        # DISTINCT lang (a handful), not once per row
+        enc = pc.dictionary_encode(t["lang"].combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        lo_u = np.array([self.bounds[x][0] for x in uniq], np.int64)
+        hi_u = np.array([self.bounds[x][1] for x in uniq], np.int64)
+        codes = enc.indices.to_numpy()
+        n = t["n_tokens"].to_numpy()
+        return t.filter(pa.array((n >= lo_u[codes]) & (n <= hi_u[codes])))
+
+
+def _decile_band_filter(counted):
+    """Keep rows inside each lang's [p10, p90] nearest-rank token band:
+    histogram partial agg → KB-sized bounds table → broadcast filter.
+    ``counted`` is consumed twice (bounds pass + filter pass) — callers
+    pass either a materialized light table or a recomputable stream."""
+    bounds_ref = _decile_bounds(counted)
+    return counted.map_batches(_BandFilter, fn_constructor_args=(bounds_ref,), concurrency=_pool(), **_PA)
 
 
 def q_curation_pipeline(sf_dir: str):
@@ -1311,8 +1373,18 @@ def q_curation_pipeline(sf_dir: str):
             }
         )
 
-    counted = ds.map_batches(count_tokens, **_PA).materialize()
-    banded = _decile_band_filter(counted)
+    # Two streaming passes instead of one full-corpus materialize (VERDICT
+    # r4 #2: pinning the corpus INCLUDING the text column in the object
+    # store is a 100-TB spill hazard). Pass 1 streams only (lang, n_tokens)
+    # into the KB-sized histogram for the decile bounds; pass 2 re-runs the
+    # cheap tokenize with text attached and gates against the broadcast
+    # bounds — the same recompute-over-pin trade q_tfidf_topk makes.
+    def count_light(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "n_tokens": _token_count_array(t["text"])})
+
+    bounds_ref = _decile_bounds(ds.map_batches(count_light, **_PA))
+    counted = ds.map_batches(count_tokens, **_PA)
+    banded = counted.map_batches(_BandFilter, fn_constructor_args=(bounds_ref,), concurrency=_pool(), **_PA)
 
     def rep_gate(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(_trigram_ratios(t["text"], t.num_rows) <= 0.05))

@@ -229,3 +229,22 @@ def test_dump_dir_name_tracks_definition():
     c = _dump_dir_for("thing", ("v1", 6000))
     assert len({a, b, c}) == 3
     assert _dump_dir_for("thing", ("v1", 5000)) == a
+
+
+def test_tfidf_tokenize_ascii_trim_matches_re2():
+    """q_tfidf_topk's Arrow-side trim must agree with the oracle's RE2
+    '^\\s+|\\s+$' trim for NON-ASCII edge whitespace (U+00A0, U+2028) —
+    Unicode-aware utf8_trim_whitespace strips those, RE2 \\s does not
+    (ADVICE r4)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = ["\u00a0x y\u00a0", "a b", " a\u00a0b ", "\tz\u2028", " ", "\u00a0", ""]
+    trimmed = pc.utf8_trim(pc.utf8_lower(pa.array(texts)), " \t\n\f\r")
+    con = duckdb.connect()
+    for t, got in zip(texts, trimmed.to_pylist()):
+        want = con.execute(
+            "SELECT regexp_replace(lower(?), '^\\s+|\\s+$', '', 'g')", [t]
+        ).fetchone()[0]
+        assert got == want, f"trim divergence for {t!r}: {got!r} vs {want!r}"

@@ -99,3 +99,15 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(e.entry())
     assert len(df) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_embedding_neardup_block_guard(ray_session, monkeypatch):
+    """A label whose embedding block exceeds the per-task memory bound must
+    raise loudly (VERDICT r4 #6) instead of silently OOMing one worker."""
+    import pytest
+
+    from cloud_crawler_ray import queries as q
+
+    monkeypatch.setattr(q, "_NEARDUP_MAX_BLOCK_BYTES", 64)  # force the trip
+    with pytest.raises(Exception, match="per-label block bound"):
+        q.q_embedding_neardup(SF_DIR).to_pandas()
