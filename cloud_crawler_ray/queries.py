@@ -2570,116 +2570,153 @@ def q_bucketed_join(sf_dir: str):
     )
 
 
+# KMV sketch size for q_approx_distinct_users: relative error ~1/sqrt(k-2)
+# (~13% at k=64); raise for tighter bounds — the exchange carries k uint64s.
+_KMV_K = 64
+
+
 def q_approx_distinct_users(sf_dir: str):
-    """HLL count-distinct of event users: one sketch per batch, merged in a
-    tiny reduce (no shuffle of raw keys). Rows-only — the ±2% error band vs
-    the exact count is unit-tested."""
-    from .functions.sketches import HyperLogLog
+    """KMV (k-minimum-values) count-distinct of event users: per batch keep
+    the k smallest DISTINCT splitmix64(user_id) hashes (the combiner), one
+    tiny reduce merges them (k smallest of the union — no shuffle of raw
+    keys), estimate = (k−1)·2⁶⁴/h₍ₖ₎, exact count when fewer than k
+    distinct hashes exist (Bar-Yossef et al.'s classic mergeable sketch).
+
+    Replaces the r4 HLL variant for this query (HyperLogLog stays in
+    functions/sketches.py as a kernel): KMV is order-invariant AND its
+    estimate is one exact-integer comparison plus one float expression
+    mirrored token-for-token in the DuckDB oracle — the repo's splitmix64
+    SQL restatement computes identical hashes — so the driver hash-gate
+    checks it bit-exactly, where HLL's float harmonic sum + log small-range
+    correction cannot be reproduced deterministically in SQL."""
+    from .functions.hashing import splitmix64
 
     ds = _read(sf_dir, "events", ["user_id"])
 
-    def sketch(t: pa.Table) -> pa.Table:
-        h = HyperLogLog().add_many(t["user_id"].to_numpy().astype(np.uint64))
-        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+    def partial(t: pa.Table) -> pa.Table:
+        h = splitmix64(t["user_id"].to_numpy().astype(np.uint64))
+        u = np.unique(h)[:_KMV_K]
+        return pa.table({"hk": pa.array(u, pa.uint64())})
 
     def merge_all(t: pa.Table) -> pa.Table:
-        merged = None
-        for blob in t["sketch"].to_pylist():
-            s = HyperLogLog.deserialize(blob)
-            merged = s if merged is None else merged.merge(s)
-        if merged is None:
-            return pa.table({"sketch": pa.array([], pa.binary())})
-        return pa.table({"sketch": pa.array([merged.serialize()], pa.binary())})
+        u = np.unique(t["hk"].to_numpy().astype(np.uint64))[:_KMV_K]
+        return pa.table({"hk": pa.array(u, pa.uint64())})
 
-    # sketches are KB-sized: repartition(1) ships them to ONE reduce task
-    # (not the driver) for the final merge; the driver reads back one blob
+    # partials are ≤ k rows each: repartition(1) ships them to ONE reduce
+    # task for the merge; the driver reads back ≤ k values
     rows = (
-        ds.map_batches(sketch, **_PA)
+        ds.map_batches(partial, **_PA)
         .repartition(1)
         .map_batches(merge_all, batch_size=None, **_PA)  # whole block = one merge
         .take_all()
     )
-    est = int(round(HyperLogLog.deserialize(rows[0]["sketch"]).estimate())) if rows else 0
+    u = np.sort(np.array([r["hk"] for r in rows], np.uint64))
+    if len(u) < _KMV_K:
+        est = len(u)  # sketch holds every distinct hash — exact
+    else:
+        # token-for-token the SQL expression: (k-1) * (2^64 / float(h_k))
+        est = int(np.floor((_KMV_K - 1) * (18446744073709551616.0 / float(u[_KMV_K - 1]))))
     return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
 
 
-def q_approx_quantiles(sf_dir: str):
-    """Approximate p50/p90/p99 of event values via the deterministic
-    mergeable quantile sketch (functions/sketches.py QuantileSketch) — the
-    percentile analog of the HLL pattern: one small sketch per batch, one
-    associative merge in a reduce task, no sort/shuffle of raw values.
-    Rows-only — the rank-error band vs exact quantiles is unit-tested."""
-    from .functions.sketches import QuantileSketch
+# fixed-resolution histogram-sketch bucket scale for the approx-quantile
+# queries: bucket = floor(value * 16) → value error ≤ 1/16, rank error 0.
+# 16 is a power of two so bucket/16.0 is EXACT in float64 — the estimate is
+# bit-identical between numpy and DuckDB.
+_QSKETCH_SCALE = 16
 
+
+def _hist_quantile_pick(buckets: np.ndarray, cum: np.ndarray, total: int, pct: int) -> float:
+    """Nearest-rank pick from a (sorted buckets, cumulative counts) histogram:
+    0-based rank (pct·(N−1))//100, first bucket whose cum covers rank+1 —
+    pure integer arithmetic, mirrored 1:1 in the SQL oracles."""
+    r0 = (pct * (total - 1)) // 100
+    return float(buckets[np.searchsorted(cum, r0 + 1)]) / _QSKETCH_SCALE
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Approximate p50/p90/p99 of event values via a fixed-resolution
+    MERGEABLE HISTOGRAM sketch (monitoring-histogram style, a linear-bucket
+    DDSketch relative): per batch, values collapse to (bucket, count) with
+    bucket = floor(value·16) — the combiner — then one tiny groupby-sum; the
+    exchange carries KB of buckets, never raw values, and merge is count
+    addition, so the result is ORDER-INVARIANT under any partitioning.
+
+    That order-invariance is why this replaced the r4 KLL-style compactor
+    (functions/sketches.py QuantileSketch, still available as a kernel):
+    a compacting sketch's output depends on its merge tree, which made the
+    query un-checkable by an independent oracle. Here rank selection is
+    integer-exact nearest-rank and the estimate bucket/16.0 is an exact
+    float64, so the DuckDB oracle matches bit-for-bit; value error ≤ 1/16.
+    """
     ds = _read(sf_dir, "events", ["value"])
 
-    def sketch(t: pa.Table) -> pa.Table:
-        s = QuantileSketch().add_many(t["value"].to_numpy())
-        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy() * float(_QSKETCH_SCALE)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub), "partial": pa.array(cnt.astype(np.int64))})
 
-    def merge_all(t: pa.Table) -> pa.Table:
-        merged = None
-        for blob in t["sketch"].to_pylist():
-            s = QuantileSketch.deserialize(blob)
-            merged = s if merged is None else merged.merge(s)
-        if merged is None:
-            return pa.table({"sketch": pa.array([], pa.binary())})
-        return pa.table({"sketch": pa.array([merged.serialize()], pa.binary())})
-
-    rows = (
-        ds.map_batches(sketch, **_PA)
-        .repartition(1)
-        .map_batches(merge_all, batch_size=None, **_PA)
+    hist = (
+        ds.map_batches(partial, **_PA)
+        .groupby("bucket")
+        .aggregate(Sum("partial", alias_name="cnt"))
         .take_all()
-    )
-    if not rows:
-        return pa.table({"p50": pa.array([], pa.float64())})
-    m = QuantileSketch.deserialize(rows[0]["sketch"])
+    )  # KB-sized: one row per distinct bucket
+    if not hist:
+        return pa.table(
+            {"p50": pa.array([], pa.float64()), "p90": pa.array([], pa.float64()), "p99": pa.array([], pa.float64())}
+        )
+    rows = sorted((int(r["bucket"]), int(r["cnt"])) for r in hist)
+    bk = np.array([b for b, _ in rows], np.int64)
+    cum = np.cumsum([c for _, c in rows])
+    total = int(cum[-1])
     return pa.table(
         {
-            "p50": pa.array([m.quantile(0.5)], pa.float64()),
-            "p90": pa.array([m.quantile(0.9)], pa.float64()),
-            "p99": pa.array([m.quantile(0.99)], pa.float64()),
+            "p50": pa.array([_hist_quantile_pick(bk, cum, total, 50)], pa.float64()),
+            "p90": pa.array([_hist_quantile_pick(bk, cum, total, 90)], pa.float64()),
+            "p99": pa.array([_hist_quantile_pick(bk, cum, total, 99)], pa.float64()),
         }
     )
 
 
 def q_grouped_quantiles(sf_dir: str):
-    """Per-event-type p50/p95 via partial quantile sketches — the grouped
-    version of q_approx_quantiles: each batch emits one KB sketch per
-    event_type it saw (the combiner), a groupby(event_type) merges sketches
-    per group — the exchange carries sketches, never raw values. Rows-only;
-    per-group rank-error band unit-tested."""
-    from .functions.sketches import QuantileSketch
-
+    """Per-event-type p50/p95 via the grouped histogram sketch: each batch
+    emits (event_type, bucket, count) partials — the combiner — a
+    groupby-sum merges them, and a per-group finalize (tiny: one row per
+    distinct bucket) picks nearest-rank quantiles. Same order-invariant /
+    bit-checkable design as q_approx_quantiles; the exchange carries
+    histogram rows, never raw values."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def sketch_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"e": t["event_type"].to_pylist(), "v": t["value"].to_numpy()})
-        types, blobs = [], []
-        for etype, g in df.groupby("e", sort=True):
-            types.append(etype)
-            blobs.append(QuantileSketch().add_many(g["v"].to_numpy()).serialize())
-        return pa.table({"event_type": pa.array(types, pa.string()), "sketch": pa.array(blobs, pa.binary())})
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy() * float(_QSKETCH_SCALE)).astype(np.int64)
+        g = (
+            pa.table({"event_type": t["event_type"], "bucket": pa.array(b)})
+            .group_by(["event_type", "bucket"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "bucket", "partial"])
 
-    def merge_group(g: pa.Table) -> pa.Table:
-        merged = None
-        for blob in g["sketch"].to_pylist():
-            s = QuantileSketch.deserialize(blob)
-            merged = s if merged is None else merged.merge(s)
-        return pa.table(
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket")
+        bk = g["bucket"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        total = int(cum[-1])
+        return pd.DataFrame(
             {
-                "event_type": g["event_type"].slice(0, 1),
-                "p50": pa.array([merged.quantile(0.5)], pa.float64()),
-                "p95": pa.array([merged.quantile(0.95)], pa.float64()),
-                "n": pa.array([merged.count()], pa.int64()),
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [_hist_quantile_pick(bk, cum, total, 50)],
+                "p95": [_hist_quantile_pick(bk, cum, total, 95)],
+                "n": pd.Series([total], dtype=np.int64),
             }
         )
 
     return (
-        ds.map_batches(sketch_partial, **_PA)
+        ds.map_batches(partial, **_PA)
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("partial", alias_name="cnt"))
         .groupby("event_type")
-        .map_groups(merge_group, batch_format="pyarrow")
+        .map_groups(finalize, batch_format="pandas")
     )
 
 
@@ -2700,6 +2737,40 @@ ORACLE_SQL.update(
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        # histogram-sketch quantiles: same bucket map (floor(value·16)),
+        # nearest-rank integer arithmetic and exact bucket/16.0 estimate as
+        # the engine — bit-checkable because the sketch is order-invariant
+        "approx_quantiles": f"""
+            WITH b AS (
+              SELECT CAST(floor(value * {_QSKETCH_SCALE}.0) AS BIGINT) AS bucket, count(*) AS cnt
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+                     sum(cnt) OVER () AS total
+              FROM b
+            )
+            SELECT
+              min(CASE WHEN cum >= (50 * (total - 1)) // 100 + 1 THEN bucket END) / {_QSKETCH_SCALE}.0 AS p50,
+              min(CASE WHEN cum >= (90 * (total - 1)) // 100 + 1 THEN bucket END) / {_QSKETCH_SCALE}.0 AS p90,
+              min(CASE WHEN cum >= (99 * (total - 1)) // 100 + 1 THEN bucket END) / {_QSKETCH_SCALE}.0 AS p99
+            FROM c
+        """,
+        "grouped_quantiles": f"""
+            WITH b AS (
+              SELECT event_type, CAST(floor(value * {_QSKETCH_SCALE}.0) AS BIGINT) AS bucket, count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type, bucket,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS total
+              FROM b
+            )
+            SELECT event_type,
+                   min(CASE WHEN cum >= (50 * (total - 1)) // 100 + 1 THEN bucket END) / {_QSKETCH_SCALE}.0 AS p50,
+                   min(CASE WHEN cum >= (95 * (total - 1)) // 100 + 1 THEN bucket END) / {_QSKETCH_SCALE}.0 AS p95,
+                   CAST(max(total) AS BIGINT) AS n
+            FROM c GROUP BY event_type
         """,
     }
 )
@@ -3095,6 +3166,22 @@ _SQL_SIGNED64 = f"CAST(CASE WHEN coalesce(v.v, 0) >= {_M64 // 2} THEN CAST(coale
 # weighted by token multiplicity, bit set where votes > 0. The bit value
 # MUST be built with a UBIGINT shift — DuckDB's ** is float pow and eats
 # the low bits.
+# KMV distinct-count: identical splitmix64 hash per user_id, k smallest
+# distinct hashes, the same exact-float estimate expression as the engine.
+# (events.user_id is non-negative; the engine's uint64 wrap and the UBIGINT
+# cast agree on that domain.)
+ORACLE_SQL["approx_distinct_users"] = f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (SELECT {_sql_splitmix("hk", "CAST(user_id AS UBIGINT)")} FROM u),
+    d AS (SELECT DISTINCT hk FROM h),
+    k AS (SELECT hk FROM d ORDER BY hk LIMIT {_KMV_K}),
+    agg AS (SELECT count(*) AS nk, max(hk) AS hmax FROM k)
+    SELECT CASE WHEN nk < {_KMV_K} THEN CAST(nk AS BIGINT)
+                ELSE CAST(floor({_KMV_K - 1} * (18446744073709551616.0 / CAST(hmax AS DOUBLE))) AS BIGINT)
+           END AS approx_distinct_users
+    FROM agg
+"""
+
 ORACLE_SQL["simhash"] = f"""
     WITH toks0 AS (
       SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS tt FROM documents

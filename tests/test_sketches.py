@@ -105,3 +105,48 @@ class TestQuantileSketch:
                 rank = np.searchsorted(vals, est, side="right") / len(vals)
                 assert abs(rank - qq) < 0.02, f"{etype}/{col}: rank {rank:.3f}"
             assert abs(t.loc[etype, "n"] - len(vals)) / len(vals) < 0.01
+
+
+class TestKMV:
+    """q_approx_distinct_users' k-minimum-values sketch: order-invariant,
+    mergeable, and inside its ~1/sqrt(k-2) error band."""
+
+    def test_error_band_and_exact_small(self):
+        import numpy as np
+
+        from cloud_crawler_ray.functions.hashing import splitmix64
+
+        K = 64
+        rng = np.random.default_rng(3)
+
+        def kmv(ids):
+            u = np.sort(np.unique(splitmix64(ids.astype(np.uint64))))[:K]
+            if len(u) < K:
+                return len(u)
+            return int(np.floor((K - 1) * (18446744073709551616.0 / float(u[K - 1]))))
+
+        small = np.arange(40, dtype=np.uint64)
+        assert kmv(np.concatenate([small, small])) == 40  # exact under k
+        for n in (1_000, 100_000):
+            ids = rng.integers(0, 10**12, n, dtype=np.uint64)
+            true = len(np.unique(splitmix64(ids)))
+            est = kmv(ids)
+            assert abs(est - true) / true < 4 / np.sqrt(K - 2), (n, est, true)
+
+    def test_merge_order_invariant(self):
+        import numpy as np
+
+        from cloud_crawler_ray.functions.hashing import splitmix64
+
+        K = 64
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 10**9, 50_000, dtype=np.uint64)
+        h = splitmix64(ids)
+        # k-smallest of the union == k-smallest over any partition merge order
+        whole = np.sort(np.unique(h))[:K]
+        for seed in (0, 1, 2):
+            perm = np.random.default_rng(seed).permutation(len(h))
+            parts = np.array_split(h[perm], 17)
+            partials = [np.sort(np.unique(p))[:K] for p in parts]
+            merged = np.sort(np.unique(np.concatenate(partials)))[:K]
+            assert (merged == whole).all()
