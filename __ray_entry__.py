@@ -45,4 +45,10 @@ def oracle_sql() -> dict[str, str]:
     # compare the driver runs first
     q.ensure_crawl_oracle_dump()
     q.ensure_phash_oracle_dump()
+    q.ensure_image_oracle_dump()
+    q.ensure_audio_oracle_dump()
+    # per-input dump: the driver's correctness gate runs at sf=0.01; the
+    # SQL side selects the dump file by input fingerprint, so a different
+    # sf simply yields a loud 0-row mismatch instead of stale data
+    q.ensure_ivf_oracle_dump("/root/testdata/sf0.01")
     return dict(q.ORACLE_SQL)

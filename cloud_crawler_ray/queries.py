@@ -134,6 +134,71 @@ def _parquet_side_table(cache_key: tuple, make_ds) -> str:
     return d
 
 
+def _dump_dir_for(name: str, fingerprint) -> str:
+    """Content-addressed oracle-dump directory (ADVICE r4, medium).
+
+    The directory NAME carries a hash of the dump definition (shape dict +
+    an explicit definition-version token), so any semantics/shape change
+    gets a fresh directory automatically — no hand-bumped ``_v`` suffixes
+    whose omission silently reuses a stale dump. The root is per-user
+    (``$TMPDIR/ccr_oracle_<user>``, created 0700) so a predictable
+    world-writable /tmp path can't be pre-planted by another local user."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ccr_oracle_{getpass.getuser()}")
+    fp = hashlib.sha256(repr((name, fingerprint)).encode()).hexdigest()[:16]
+    return os.path.join(root, f"{name}_{fp}")
+
+
+def _atomic_dump_dir(dest: str, write_fn) -> str:
+    """Shared idempotent-dump protocol for the oracle parquet dumps:
+    manifest-validated _SUCCESS short-circuit, write into a fresh tmp dir
+    via ``write_fn(tmp)``, manifest + marker last, atomic rename into
+    place; a concurrent writer losing the rename discards its (identical)
+    tmp. ``dest`` must come from ``_dump_dir_for`` (content-addressed name
+    = definition version). An existing dump is sanity-checked against its
+    manifest (per-file row counts + schema) and a mismatch raises loudly —
+    a corrupt or planted dump must never silently become the correctness
+    gate's reference data (ADVICE r4)."""
+    import json as _json
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    def _manifest_of(d: str) -> dict:
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                md = pq.read_metadata(os.path.join(d, fn))
+                out[fn] = {"rows": md.num_rows, "schema": str(pq.read_schema(os.path.join(d, fn)))}
+        return out
+
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        recorded = _json.load(open(os.path.join(dest, "MANIFEST.json")))
+        actual = _manifest_of(dest)
+        if recorded != actual:
+            raise ValueError(
+                f"oracle dump {dest} does not match its manifest (corrupt or tampered); "
+                "delete the directory and re-run"
+            )
+        return dest
+    os.makedirs(os.path.dirname(dest), mode=0o700, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest))
+    write_fn(tmp)
+    _json.dump(_manifest_of(tmp), open(os.path.join(tmp, "MANIFEST.json"), "w"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, dest)
+    except OSError:  # concurrent writer won the rename — theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+
 def _col_max(sf_dir: str, table: str, col: str) -> int:
     """Max of an int column from parquet row-group statistics (no data read);
     falls back to a single-column scan when stats are absent. Used by the
@@ -2153,14 +2218,103 @@ def _train_ivf_task(path: str, n_lists: int, cap: int):
     return IVFIndex.build(x, n_lists=n_lists)
 
 
-def q_embedding_topk_ivf(sf_dir: str):
-    """IVF-probed cosine top-k (scale path of q_embedding_topk; rows-only —
-    recall vs brute force is unit-tested). Centroids are trained task-side
-    on a bounded sample; the query vector comes from a row-group-pruned
-    filtered read; assignment+scoring stream over the actor pool."""
+_IVF_K, _IVF_LISTS, _IVF_NPROBE = 10, 8, 3
+_IVF_SAMPLE_CAP = 4096
+_IVF_DUMP_DIR = _dump_dir_for("ivf_topk", ("defn-v1", _IVF_K, _IVF_LISTS, _IVF_NPROBE, _IVF_SAMPLE_CAP))
+
+
+def _ivf_input_fingerprint(t: pa.Table) -> tuple[int, int, int]:
+    """(row count, Σvec_id, integer checksum of embedding dim 0) — computable
+    both from the parquet table (numpy) and from the registered SQL view
+    with ORDER-INVARIANT integer arithmetic, so the dump file and the view
+    agree on which input they describe."""
+    n = t.num_rows
+    vec_sum = int(pc.sum(t["vec_id"]).as_py()) if n else 0
+    e0 = _emb_matrix(t["embedding"])[:, 0] if n else np.zeros(0)
+    e1sum = int(np.sum(np.floor(e0 * 1024.0).astype(np.int64)))
+    return n, vec_sum, e1sum
+
+
+def ensure_ivf_oracle_dump(sf_dir: str) -> str:
+    """Independent single-process numpy recompute of q_embedding_topk_ivf
+    over ``sf_dir``'s embeddings table (no Ray): same seeded IVF build on
+    the first-4096 sample (functions/ann.py is the shared definition, like
+    the phash DCT), then a full-table assign → probe-filter → cosine →
+    round → total-order top-k in one pass. One atomically-renamed parquet
+    per input fingerprint inside a shared content-addressed dir."""
+    import tempfile
+
     import pyarrow.parquet as pq
 
-    k, n_lists, nprobe = 10, 8, 3
+    from .functions.ann import IVFIndex
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_input, vec_sum, e1sum = _ivf_input_fingerprint(t)
+    dest = os.path.join(_IVF_DUMP_DIR, f"res_{n_input}_{vec_sum}_{e1sum}.parquet")
+    if os.path.exists(dest):
+        return dest
+    emb = _emb_matrix(t["embedding"])
+    vid = t["vec_id"].to_numpy()
+    index = IVFIndex.build(emb[:_IVF_SAMPLE_CAP], n_lists=_IVF_LISTS)
+    q = emb[vid == 0][0]
+    probed = set(index.probe_lists(q, _IVF_NPROBE).tolist())
+    qn = q / np.linalg.norm(q)
+    lists = index.assign(emb)
+    keep = np.isin(lists, list(probed)) & (vid != 0)
+    emb_k = emb[keep]
+    norms = np.linalg.norm(emb_k, axis=1)
+    sims = np.round((emb_k @ qn) / np.where(norms == 0, 1, norms), 6)
+    ids = vid[keep]
+    order = np.lexsort((ids, -sims))[:_IVF_K]  # cos_sim desc, vec_id asc
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_sim": pa.array(sims[order], pa.float64()),
+            "n_input": pa.array(np.full(len(order), n_input, np.int64)),
+            "vec_sum": pa.array(np.full(len(order), vec_sum, np.int64)),
+            "e1_sum": pa.array(np.full(len(order), e1sum, np.int64)),
+        }
+    )
+    os.makedirs(_IVF_DUMP_DIR, mode=0o700, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".parquet.tmp", dir=_IVF_DUMP_DIR)
+    os.close(fd)
+    pq.write_table(out, tmp)
+    os.replace(tmp, dest)  # atomic: readers see whole files only
+    return dest
+
+
+ORACLE_SQL["embedding_topk_ivf"] = f"""
+    WITH fp AS (
+      SELECT count(*) AS n_input,
+             coalesce(sum(vec_id), 0) AS vec_sum,
+             coalesce(sum(CAST(floor(embedding[1] * 1024.0) AS BIGINT)), 0) AS e1_sum
+      FROM embeddings
+    )
+    SELECT r.vec_id, r.cos_sim
+    FROM read_parquet('{_IVF_DUMP_DIR}/res_*.parquet') r JOIN fp
+      ON r.n_input = fp.n_input AND r.vec_sum = fp.vec_sum AND r.e1_sum = fp.e1_sum
+"""
+
+
+def q_embedding_topk_ivf(sf_dir: str):
+    """IVF-probed cosine top-k (scale path of q_embedding_topk; recall vs
+    brute force is unit-tested). Centroids are trained task-side on a
+    bounded sample; the query vector comes from a row-group-pruned filtered
+    read; assignment+scoring stream over the actor pool.
+
+    Oracle (r5): every step is deterministic — seeded k-means, fixed
+    first-4096 training sample, per-row scoring, 6-decimal rounding, total
+    (cos_sim desc, vec_id) order — so an independent single-process numpy
+    recompute rides a parquet dump. The dump is per-INPUT (the result
+    depends on the embeddings table): one file per input fingerprint
+    (row count + Σvec_id + an integer content checksum of dim 0), and the
+    static SQL selects the file matching the fingerprint it computes from
+    the registered view — wrong/missing fingerprint yields 0 rows, a loud
+    driver mismatch rather than silent staleness."""
+    import pyarrow.parquet as pq
+
+    k, n_lists, nprobe = _IVF_K, _IVF_LISTS, _IVF_NPROBE
+    ensure_ivf_oracle_dump(sf_dir)  # the DuckDB side of this query's compare
     index = ray.get(_train_ivf_task.remote(f"{sf_dir}/embeddings.parquet", n_lists, 4096))
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"], filters=[("vec_id", "==", 0)]
@@ -2227,30 +2381,81 @@ def _synthetic_images(sf_dir: str):
 
 def q_image_features(sf_dir: str):
     """Binary-payload decode → resize → features on an actor pool
-    (stages/multimodal.py; rows-only — determinism is the check)."""
+    (stages/multimodal.py), written through a Lance-style versioned table
+    (binary thumbnail column included — the multimodal binary-column WRITE
+    path, VERDICT r4 #8) and read back as the projected feature table.
+
+    Oracle: features are a pure function of doc_id (the synthetic image set
+    is doc_id-seeded), so an independent single-process recompute over the
+    imaging kernels rides a parquet dump that the SQL side joins against
+    the actual documents table (the phash_neardup dump pattern)."""
+    import tempfile
+
     from .stages.multimodal import ImageFeatureStage
+
+    max_id = _col_max(sf_dir, "documents", "doc_id")
+    if max_id >= _FEAT_DUMP_DOCS:
+        raise ValueError(
+            f"documents has max(doc_id)={max_id} but the image-features oracle dump covers "
+            f"doc_id < {_FEAT_DUMP_DOCS}; raise _FEAT_DUMP_DOCS or the SQL join under-covers"
+        )
+    ensure_image_oracle_dump()  # the DuckDB side of this query's compare
 
     feats = _synthetic_images(sf_dir).map_batches(
         ImageFeatureStage, batch_size=64, concurrency=_pool(), **_PA
     )
-    return feats.map_batches(lambda t: t.drop_columns(["thumbnail"]), **_PA)
+    # write the full feature table (thumbnail binary column included) as
+    # Lance-style fragments — one fragment per batch task, manifest-last
+    # commit — then stream the query's projection back off the table
+    from .sources.lancelike import LanceLikeTable
+
+    tdir = tempfile.mkdtemp(prefix="ccr_imgfeat_")
+    tbl = LanceLikeTable.create(tdir)
+
+    def write_frag(t: pa.Table) -> pa.Table:
+        name = tbl.write_fragment(t)
+        return pa.table({"fragment": pa.array([name], pa.string())})
+
+    frags = [r["fragment"] for r in feats.map_batches(write_frag, **_PA).take_all()]
+    tbl.commit(sorted(frags), meta={"source": "q_image_features"})
+    return tbl.to_dataset(columns=["image_id", "phash", "mean_intensity", "std_intensity"])
+
+
+def _synth_audio_bytes(doc_id: int) -> bytes:
+    """Deterministic fake audio payload for one doc: splitmix64-stream bytes,
+    length 256 + (doc_id·37) % 2048 — doc_id-seeded so the audio-features
+    oracle dump is a pure function of doc_id (sf-agnostic, like the image
+    and phash dumps)."""
+    from .functions.hashing import splitmix64
+
+    n = 256 + (doc_id * 37) % 2048
+    words = splitmix64(np.uint64(doc_id) * np.uint64(1 << 32) + np.arange((n + 7) // 8, dtype=np.uint64))
+    return words.view(np.uint8)[:n].tobytes()
 
 
 def q_audio_features(sf_dir: str):
     """Audio decode/feature plumbing (stub codec): duration + RMS per clip —
-    the actor-pool binary-column stage for audio (rows-only; determinism is
-    the check, codec gated behind import-try in stages/multimodal.py)."""
+    the actor-pool binary-column stage for audio (codec gated behind
+    import-try in stages/multimodal.py). The synthetic payload is
+    doc_id-seeded, so the oracle is an independent single-process recompute
+    joined against documents via a parquet dump (phash_neardup pattern)."""
     from .stages.multimodal import AudioFeatureStage
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    max_id = _col_max(sf_dir, "documents", "doc_id")
+    if max_id >= _FEAT_DUMP_DOCS:
+        raise ValueError(
+            f"documents has max(doc_id)={max_id} but the audio-features oracle dump covers "
+            f"doc_id < {_FEAT_DUMP_DOCS}; raise _FEAT_DUMP_DOCS or the SQL join under-covers"
+        )
+    ensure_audio_oracle_dump()  # the DuckDB side of this query's compare
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def as_audio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
         return pa.table(
             {
-                "audio_id": pc.binary_join_element_wise(
-                    pa.array(["aud"] * t.num_rows, pa.string()), pc.cast(t["doc_id"], pa.string()), ""
-                ),
-                "bytes": pc.cast(t["text"], pa.binary()),
+                "audio_id": pa.array([f"aud{d}" for d in ids], pa.string()),
+                "bytes": pa.array([_synth_audio_bytes(int(d)) for d in ids], pa.binary()),
             }
         )
 
@@ -2281,6 +2486,92 @@ def q_frame_sample(sf_dir: str):
     )
 
 
+_FEAT_DUMP_DOCS = 5000  # image/audio feature dumps cover doc_id < 5000 (sf ≤ 0.1)
+_IMGFEAT_DUMP_DIR = _dump_dir_for("imgfeat", ("defn-v1", _FEAT_DUMP_DOCS))
+_AUDFEAT_DUMP_DIR = _dump_dir_for("audfeat", ("defn-v1", _FEAT_DUMP_DOCS))
+
+
+def ensure_image_oracle_dump() -> str:
+    """Independent single-process recompute of q_image_features' output as a
+    pure function of doc_id: the imaging KERNELS (synth/encode/decode/phash)
+    are the shared definition — like the phash_neardup dump's DCT — but the
+    orchestration (loop, feature math) is re-derived here without the Ray
+    stage. Idempotent (content-addressed dir + manifest); called from both
+    the query path and ``__ray_entry__.oracle_sql()``."""
+    import pyarrow.parquet as pq
+
+    from .functions import imaging
+    from .stages.multimodal import decode_any
+
+    def write(tmp: str) -> None:
+        ids = np.arange(_FEAT_DUMP_DOCS, dtype=np.int64)
+        phs, means, stds = [], [], []
+        for d in ids:
+            d = int(d)
+            w, h = 16 + (d * 7) % 33, 16 + (d * 13) % 33
+            fmt = ("raw", "png", "q6")[d % 3]
+            img = decode_any(imaging.encode_image(imaging.synth_image(d, w, h), fmt), w, h, fmt)
+            phs.append(imaging.phash64(img))
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "image_id": pa.array([f"img{d:08d}" for d in ids], pa.string()),
+                    "phash": pa.array(phs, pa.int64()),
+                    "mean_intensity": pa.array(np.round(means, 4), pa.float64()),
+                    "std_intensity": pa.array(np.round(stds, 4), pa.float64()),
+                }
+            ),
+            os.path.join(tmp, "features.parquet"),
+        )
+
+    return _atomic_dump_dir(_IMGFEAT_DUMP_DIR, write)
+
+
+def ensure_audio_oracle_dump() -> str:
+    """Independent single-process recompute of q_audio_features' output
+    (doc_id-seeded payload → int8-PCM decode → duration/RMS), re-deriving
+    the feature math without the Ray stage. Idempotent; see
+    ensure_image_oracle_dump."""
+    import pyarrow.parquet as pq
+
+    def write(tmp: str) -> None:
+        ids = np.arange(_FEAT_DUMP_DOCS, dtype=np.int64)
+        durs, rms = [], []
+        for d in ids:
+            pcm = np.frombuffer(_synth_audio_bytes(int(d)), np.int8).astype(np.float32) / 128.0
+            durs.append(len(pcm) / 16_000)
+            rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "audio_id": pa.array([f"aud{d}" for d in ids], pa.string()),
+                    "duration_s": pa.array(np.round(durs, 6), pa.float64()),
+                    "rms": pa.array(np.round(rms, 6), pa.float64()),
+                }
+            ),
+            os.path.join(tmp, "features.parquet"),
+        )
+
+    return _atomic_dump_dir(_AUDFEAT_DUMP_DIR, write)
+
+
+ORACLE_SQL["image_features"] = f"""
+    SELECT f.image_id, f.phash, f.mean_intensity, f.std_intensity
+    FROM read_parquet('{_IMGFEAT_DUMP_DIR}/features.parquet') f
+    JOIN documents d USING (doc_id)
+"""
+
+ORACLE_SQL["audio_features"] = f"""
+    SELECT f.audio_id, f.duration_s, f.rms
+    FROM read_parquet('{_AUDFEAT_DUMP_DIR}/features.parquet') f
+    JOIN documents d USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Crawl-engine flagship exposed as queries (rows-only; conformance suite
 # proves oracle equality separately)
@@ -2294,70 +2585,6 @@ _CRAWL_Q_SHAPE = dict(
     n_hosts=10, pages_per_host=100, n_seed_hosts=5,
     num_partitions=4, num_shards=2, wave_cap_per_partition=25, max_waves=4,
 )
-def _dump_dir_for(name: str, fingerprint) -> str:
-    """Content-addressed oracle-dump directory (ADVICE r4, medium).
-
-    The directory NAME carries a hash of the dump definition (shape dict +
-    an explicit definition-version token), so any semantics/shape change
-    gets a fresh directory automatically — no hand-bumped ``_v`` suffixes
-    whose omission silently reuses a stale dump. The root is per-user
-    (``$TMPDIR/ccr_oracle_<user>``, created 0700) so a predictable
-    world-writable /tmp path can't be pre-planted by another local user."""
-    import getpass
-    import hashlib
-    import tempfile
-
-    root = os.path.join(tempfile.gettempdir(), f"ccr_oracle_{getpass.getuser()}")
-    fp = hashlib.sha256(repr((name, fingerprint)).encode()).hexdigest()[:16]
-    return os.path.join(root, f"{name}_{fp}")
-
-
-def _atomic_dump_dir(dest: str, write_fn) -> str:
-    """Shared idempotent-dump protocol for the oracle parquet dumps:
-    manifest-validated _SUCCESS short-circuit, write into a fresh tmp dir
-    via ``write_fn(tmp)``, manifest + marker last, atomic rename into
-    place; a concurrent writer losing the rename discards its (identical)
-    tmp. ``dest`` must come from ``_dump_dir_for`` (content-addressed name
-    = definition version). An existing dump is sanity-checked against its
-    manifest (per-file row counts + schema) and a mismatch raises loudly —
-    a corrupt or planted dump must never silently become the correctness
-    gate's reference data (ADVICE r4)."""
-    import json as _json
-    import tempfile
-
-    import pyarrow.parquet as pq
-
-    def _manifest_of(d: str) -> dict:
-        out = {}
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".parquet"):
-                md = pq.read_metadata(os.path.join(d, fn))
-                out[fn] = {"rows": md.num_rows, "schema": str(pq.read_schema(os.path.join(d, fn)))}
-        return out
-
-    if os.path.exists(os.path.join(dest, "_SUCCESS")):
-        recorded = _json.load(open(os.path.join(dest, "MANIFEST.json")))
-        actual = _manifest_of(dest)
-        if recorded != actual:
-            raise ValueError(
-                f"oracle dump {dest} does not match its manifest (corrupt or tampered); "
-                "delete the directory and re-run"
-            )
-        return dest
-    os.makedirs(os.path.dirname(dest), mode=0o700, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest))
-    write_fn(tmp)
-    _json.dump(_manifest_of(tmp), open(os.path.join(tmp, "MANIFEST.json"), "w"))
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    try:
-        os.rename(tmp, dest)
-    except OSError:  # concurrent writer won the rename — theirs is identical
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    return dest
-
-
 _ORACLE_DUMP_DIR = _dump_dir_for("crawl", ("defn-v1", sorted(_CRAWL_Q_SHAPE.items())))
 
 
