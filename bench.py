@@ -374,6 +374,18 @@ def run_curate() -> dict:
         ray.shutdown()
 
 
+def _calibration_probe() -> float:
+    """Fixed single-threaded numpy workload (~0.2-0.4 s on an idle core);
+    its wall time gauges instantaneous node load for the leg gate."""
+    import numpy as np
+
+    a = np.arange(1 << 21, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(40):
+        a = a * 1.0000001 + 1.0
+    return time.time() - t0
+
+
 def scaling_run() -> dict:
     def one(ncpu: int) -> dict:
         # settle the node first: back-to-back heavy runs cost ~30% for ~20s
@@ -386,40 +398,63 @@ def scaling_run() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # Leg protocol (VERDICT r4 #5 — make the conservative reading robust to
+    # window churn): the sandbox's run-to-run variance is ±40% on identical
+    # work (writeback bursts, allocator churn, turbo droop), so
+    #   (a) legs are interleaved across the two parallelism levels,
+    #   (b) each leg is LOAD-GATED: a calibration probe must land within
+    #       25% of the session's best probe before the leg may start
+    #       (retrying with settle sleeps), so legs launched into a
+    #       degraded window are deferred instead of polluting the stats,
+    #   (c) best-leg efficiency uses min wall per level (the least-noise
+    #       estimate — every leg is digest-proven identical work), and the
+    #       conservative reading uses the MEDIAN wall per level (robust to
+    #       one churned leg, unlike r4's mean).
+    probes: list[float] = []
+
+    def gated_one(ncpu: int) -> dict:
+        p = _calibration_probe()
+        probes.append(p)
+        for _ in range(5):
+            if p <= 1.25 * min(probes):
+                break
+            os.sync()
+            time.sleep(15)
+            p = _calibration_probe()
+            probes.append(p)
+        leg = one(ncpu)
+        leg["probe_sec"] = round(p, 3)
+        return leg
+
     lo, hi = 8, 32
-    # the sandbox's run-to-run variance is large (±40% observed on identical
-    # runs: writeback bursts, allocator churn, turbo droop), so both legs are
-    # sampled repeatedly interleaved and the best of each is kept — the legs
-    # do IDENTICAL work (output digests must match), so min wall time is the
-    # least-noise estimate of each leg's true cost
-    runs_hi = [one(hi)]
-    runs_lo = [one(lo)]
-    runs_hi.append(one(hi))
-    runs_lo.append(one(lo))
-    runs_hi.append(one(hi))
+    runs_hi, runs_lo = [], []
+    for _ in range(3):
+        runs_hi.append(gated_one(hi))
+        runs_lo.append(gated_one(lo))
     r_hi = min(runs_hi, key=lambda r: r["crawl"]["sec"])
     r_lo = min(runs_lo, key=lambda r: r["crawl"]["sec"])
     tp_lo = r_lo["crawl"]["urls_per_sec"]
     tp_hi = r_hi["crawl"]["urls_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
-    # conservative reading: mean wall over ALL legs (best-leg is the
-    # least-noise estimate on this ±40% node; the mean is the honest floor)
-    mean_hi = sum(r["crawl"]["sec"] for r in runs_hi) / len(runs_hi)
-    mean_lo = sum(r["crawl"]["sec"] for r in runs_lo) / len(runs_lo)
-    fetched = r_hi["crawl"]["fetched"]
-    eff_cons = ((fetched / mean_hi) / (fetched / mean_lo)) / (hi / lo)
+    import statistics
+
+    med_hi = statistics.median(r["crawl"]["sec"] for r in runs_hi)
+    med_lo = statistics.median(r["crawl"]["sec"] for r in runs_lo)
+    eff_cons = (med_lo / med_hi) / (hi / lo)
     digests = {r["crawl"]["output_digest"] for r in runs_hi + runs_lo}
     return {
         "metric": "crawl throughput scaling efficiency (8 vs 32 cpus)",
         "value": round(eff, 3),
         "value_conservative": round(eff_cons, 3),
         "unit": "efficiency",
+        "protocol": "interleaved load-gated legs; best = min wall, conservative = median wall per level",
         "urls_per_sec_8": tp_lo,
         "urls_per_sec_32": tp_hi,
         "sec_8": r_lo["crawl"]["sec"],
         "sec_32": r_hi["crawl"]["sec"],
         "sec_32_runs": [r["crawl"]["sec"] for r in runs_hi],
         "sec_8_runs": [r["crawl"]["sec"] for r in runs_lo],
+        "probe_sec_runs": [round(p, 3) for p in probes],
         "fetched": r_hi["crawl"]["fetched"],
         "identical_outputs": len(digests) == 1,
         "output_digest": r_hi["crawl"]["output_digest"],

@@ -372,6 +372,21 @@ class CrawlEngine:
         ray.get(futs)
         return self.shards
 
+    # per-shard bloom ship budget for CheckRouter's router-local pre-check:
+    # small frontiers broadcast the blooms once per wave (128 KB–8 MB); a
+    # 10^10-URL frontier's shards exceed it and keep the RPC-only path
+    _BLOOM_SHIP_MAX_BYTES = 8 << 20
+
+    def _bloom_snapshots_ref(self, shards):
+        """ObjectRef to the wave-start list of per-shard bloom snapshots
+        (None entries for shards over budget), or None when nothing ships.
+        One broadcast per wave — readers (CheckRouter tasks) restore once
+        per process and answer definitely-new rows locally, RPC-free."""
+        snaps = ray.get([s.bloom_snapshot.remote(self._BLOOM_SHIP_MAX_BYTES) for s in shards])
+        if all(s is None for s in snaps):
+            return None
+        return ray.put(snaps)
+
     def frontier_row_count(self) -> int:
         return self.frontier.base_row_count()
 
@@ -421,6 +436,7 @@ class CrawlEngine:
         t_start = _time.time()
         cfg, P, pl = self.cfg, self.P, self.pipeline
         shards = self._ensure_shards()
+        bloom_ref = self._bloom_snapshots_ref(shards)
         part_files = self.frontier.partition_files()
         old_manifest = self.frontier.manifest()
         # bench evidence for the O(backlog) claim scan (VERDICT r2 #1):
@@ -503,7 +519,7 @@ class CrawlEngine:
             cand_src = done.map_batches(AttachParse(pl), **_PA)
         cand_rows = (
             cand_src.map_batches(lambda t: extract_candidates(t, cfg, P), **_PA)
-            .map_batches(CheckRouter(shards), **_PA)
+            .map_batches(CheckRouter(shards, bloom_ref), **_PA)
             .map_batches(_as_commit_cand, **_PA)
         )
         if pl.light:

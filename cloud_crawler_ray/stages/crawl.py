@@ -839,6 +839,21 @@ class DedupShard:
             "cuckoo_load": self.cuckoo.load_factor(),
         }
 
+    def bloom_snapshot(self, max_bytes: int):
+        """Wave-start bloom snapshot for CheckRouter's router-local
+        pre-check; None once the filter outgrows the ship budget (at
+        10^10-URL scale per-shard blooms are hundreds of MB — those shards
+        keep the RPC-only path; shipping is a small-frontier fast path,
+        never a requirement)."""
+        if self.bloom.words.nbytes > max_bytes:
+            return None
+        return self.bloom.snapshot()
+
+
+# per-process cache of restored bloom readers, keyed by the snapshot list's
+# ObjectRef (one entry per wave; bounded so long jobs don't accumulate)
+_BLOOM_READER_CACHE: dict = {}
+
 
 class CheckRouter:
     """Check-only pre-filter against the sharded URL-seen actors.
@@ -852,21 +867,55 @@ class CheckRouter:
     is caught by the destination partition's exact anti-join; "seen"
     verdicts only ever come from committed state. Cuts the shuffle volume
     by the duplicate fraction (≈40-60% in steady-state waves).
+
+    Router-local bloom pre-check (VERDICT r4 #7 — take the shard round-trip
+    off the critical path for the common case): when the engine ships a
+    wave-start snapshot of each shard's bloom filter (``bloom_ref``; gated
+    by size, see DedupShard.bloom_snapshot), rows whose shard-bloom says
+    "definitely never seen" skip the RPC entirely — only the maybe-seen
+    fraction (true duplicates + bloom FPs) crosses to the actors for the
+    exact confirm. Identical output: a bloom miss can only arise for keys
+    committed AFTER the snapshot, which is the same stale-"new" envelope
+    the actor path already has (the partition anti-join is the truth).
     """
 
-    def __init__(self, shard_handles: list):
+    def __init__(self, shard_handles: list, bloom_ref=None):
         self.shards = shard_handles
         self.n = len(shard_handles)
+        self.bloom_ref = bloom_ref
+
+    def _blooms(self):
+        if self.bloom_ref is None:
+            return None
+        key = self.bloom_ref.hex()
+        got = _BLOOM_READER_CACHE.get(key)
+        if got is None:
+            from ..state.bloom import BloomFilter
+
+            snaps = ray.get(self.bloom_ref)
+            got = [BloomFilter.restore(s) if s is not None else None for s in snaps]
+            if len(_BLOOM_READER_CACHE) >= 4:  # keep a few waves at most
+                _BLOOM_READER_CACHE.pop(next(iter(_BLOOM_READER_CACHE)))
+            _BLOOM_READER_CACHE[key] = got
+        return got
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
         h = t["url_hash"].to_numpy().astype(np.uint64)
         sid = (h % np.uint64(self.n)).astype(np.int64)
-        keep = np.zeros(len(h), bool)
+        blooms = self._blooms()
+        maybe = np.ones(len(h), bool)
+        if blooms is not None:
+            for s in range(self.n):
+                m = sid == s
+                if m.any() and blooms[s] is not None:
+                    maybe[m] = blooms[s].contains_many(h[m])
+        # bloom-negative rows are definitely not committed-seen → keep, no RPC
+        keep = np.ones(len(h), bool)
         futs, idxs = [], []
         for s in range(self.n):
-            m = sid == s
+            m = (sid == s) & maybe
             if m.any():
                 futs.append(self.shards[s].contains.remote(h[m]))
                 idxs.append(np.flatnonzero(m))
