@@ -126,12 +126,61 @@ def _parquet_side_table(cache_key: tuple, make_ds) -> str:
     process so repeated query construction reuses one write."""
     if cache_key in _SIDE_TABLE_CACHE:
         return _SIDE_TABLE_CACHE[cache_key]
+    import atexit
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix="ccr_side_")
+    # process-scoped scratch: each creating process removes its own side
+    # tables at exit (they can be larger than the corpus — never leak them)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     make_ds().write_parquet(d)
     _SIDE_TABLE_CACHE[cache_key] = d
     return d
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: process-lifetime scratch that never leaks
+    (same discipline as _parquet_side_table)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _source_stat(sf_dir: str, table: str) -> tuple[int, int]:
+    """(size, mtime_ns) of a source parquet — cheap content fingerprint for
+    process-local caches so a regenerated input is never served stale."""
+    st = os.stat(f"{sf_dir}/{table}.parquet")
+    return st.st_size, st.st_mtime_ns
+
+
+def _secure_dump_root() -> str:
+    """Per-user oracle-dump root, created 0700 and verified: the root must
+    be owned by this uid with no group/other write bits, else raise — a
+    pre-planted world-writable root must never silently hold the
+    correctness gate's reference data (self-review r5: ``os.makedirs(leaf,
+    mode=...)`` applies the mode only to the leaf, and ``exist_ok=True``
+    accepts any pre-existing directory unchecked)."""
+    import getpass
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"ccr_oracle_{getpass.getuser()}")
+    if not os.path.isdir(root):
+        try:
+            os.mkdir(root, 0o700)
+        except FileExistsError:
+            pass
+    st = os.stat(root)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise ValueError(
+            f"oracle dump root {root} is not a private directory of this user "
+            f"(uid {st.st_uid}, mode {oct(st.st_mode & 0o777)}); refusing to trust dumps there"
+        )
+    return root
 
 
 def _dump_dir_for(name: str, fingerprint) -> str:
@@ -140,9 +189,10 @@ def _dump_dir_for(name: str, fingerprint) -> str:
     The directory NAME carries a hash of the dump definition (shape dict +
     an explicit definition-version token), so any semantics/shape change
     gets a fresh directory automatically — no hand-bumped ``_v`` suffixes
-    whose omission silently reuses a stale dump. The root is per-user
-    (``$TMPDIR/ccr_oracle_<user>``, created 0700) so a predictable
-    world-writable /tmp path can't be pre-planted by another local user."""
+    whose omission silently reuses a stale dump. The root is per-user and
+    ownership/mode-verified at write/read time (``_secure_dump_root``) so
+    a predictable world-writable /tmp path can't be pre-planted by another
+    local user."""
     import getpass
     import hashlib
     import tempfile
@@ -175,6 +225,7 @@ def _atomic_dump_dir(dest: str, write_fn) -> str:
                 out[fn] = {"rows": md.num_rows, "schema": str(pq.read_schema(os.path.join(d, fn)))}
         return out
 
+    _secure_dump_root()
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         recorded = _json.load(open(os.path.join(dest, "MANIFEST.json")))
         actual = _manifest_of(dest)
@@ -184,11 +235,16 @@ def _atomic_dump_dir(dest: str, write_fn) -> str:
                 "delete the directory and re-run"
             )
         return dest
-    os.makedirs(os.path.dirname(dest), mode=0o700, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=os.path.basename(dest) + "_", dir=os.path.dirname(dest))
-    write_fn(tmp)
-    _json.dump(_manifest_of(tmp), open(os.path.join(tmp, "MANIFEST.json"), "w"))
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        write_fn(tmp)
+        _json.dump(_manifest_of(tmp), open(os.path.join(tmp, "MANIFEST.json"), "w"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # never leave partial dumps
+        raise
     try:
         os.rename(tmp, dest)
     except OSError:  # concurrent writer won the rename — theirs is identical
@@ -218,6 +274,8 @@ def _col_max(sf_dir: str, table: str, col: str) -> int:
         mx = st.max if mx is None else max(mx, st.max)
     if mx is None:  # stats missing — scan just this column
         mx = pc.max(pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])[col]).as_py()
+    if mx is None:  # empty table / all-null column: no value domain at all
+        return -1
     return int(mx)
 
 
@@ -871,7 +929,8 @@ def q_ngram_jaccard_dedup(sf_dir: str):
     # explode + both verify-join sides) from it, instead of pinning the
     # whole corpus's sets in the object store (VERDICT r4 #4)
     sets_dir = _parquet_side_table(
-        ("ngram_sets", os.path.realpath(sf_dir)), lambda: ds.map_batches(shingle_sets, **_PA)
+        ("ngram_sets", os.path.realpath(sf_dir), _source_stat(sf_dir, "documents")),
+        lambda: ds.map_batches(shingle_sets, **_PA),
     )
     sets = rd.read_parquet(sets_dir)
 
@@ -2248,6 +2307,7 @@ def ensure_ivf_oracle_dump(sf_dir: str) -> str:
 
     from .functions.ann import IVFIndex
 
+    _secure_dump_root()  # refuse planted/world-writable roots (read AND write)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_input, vec_sum, e1sum = _ivf_input_fingerprint(t)
     dest = os.path.join(_IVF_DUMP_DIR, f"res_{n_input}_{vec_sum}_{e1sum}.parquet")
@@ -2389,8 +2449,6 @@ def q_image_features(sf_dir: str):
     is doc_id-seeded), so an independent single-process recompute over the
     imaging kernels rides a parquet dump that the SQL side joins against
     the actual documents table (the phash_neardup dump pattern)."""
-    import tempfile
-
     from .stages.multimodal import ImageFeatureStage
 
     max_id = _col_max(sf_dir, "documents", "doc_id")
@@ -2409,7 +2467,7 @@ def q_image_features(sf_dir: str):
     # commit — then stream the query's projection back off the table
     from .sources.lancelike import LanceLikeTable
 
-    tdir = tempfile.mkdtemp(prefix="ccr_imgfeat_")
+    tdir = _scratch_dir("ccr_imgfeat_")
     tbl = LanceLikeTable.create(tdir)
 
     def write_frag(t: pa.Table) -> pa.Table:
@@ -2853,6 +2911,19 @@ def q_approx_distinct_users(sf_dir: str):
 _QSKETCH_SCALE = 16
 
 
+def _hist_bucketize(values: np.ndarray) -> np.ndarray:
+    """floor(value·16) → int64 bucket, refusing NaN loudly: NaN would cast
+    to an implementation-defined bucket (INT64_MIN on x86) and silently
+    skew every rank, while the SQL oracle errors — fail-loud like the
+    zscore overflow guard (self-review r5)."""
+    if np.isnan(values).any():
+        raise ValueError(
+            "histogram quantile sketch: input contains NaN/null values — "
+            "filter or impute them explicitly before sketching"
+        )
+    return np.floor(values * float(_QSKETCH_SCALE)).astype(np.int64)
+
+
 def _hist_quantile_pick(buckets: np.ndarray, cum: np.ndarray, total: int, pct: int) -> float:
     """Nearest-rank pick from a (sorted buckets, cumulative counts) histogram:
     0-based rank (pct·(N−1))//100, first bucket whose cum covers rank+1 —
@@ -2879,7 +2950,7 @@ def q_approx_quantiles(sf_dir: str):
     ds = _read(sf_dir, "events", ["value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        b = np.floor(t["value"].to_numpy() * float(_QSKETCH_SCALE)).astype(np.int64)
+        b = _hist_bucketize(t["value"].to_numpy())
         ub, cnt = np.unique(b, return_counts=True)
         return pa.table({"bucket": pa.array(ub), "partial": pa.array(cnt.astype(np.int64))})
 
@@ -2890,8 +2961,10 @@ def q_approx_quantiles(sf_dir: str):
         .take_all()
     )  # KB-sized: one row per distinct bucket
     if not hist:
+        # one NULL row, matching the SQL aggregate's shape on empty input
         return pa.table(
-            {"p50": pa.array([], pa.float64()), "p90": pa.array([], pa.float64()), "p99": pa.array([], pa.float64())}
+            {"p50": pa.array([None], pa.float64()), "p90": pa.array([None], pa.float64()),
+             "p99": pa.array([None], pa.float64())}
         )
     rows = sorted((int(r["bucket"]), int(r["cnt"])) for r in hist)
     bk = np.array([b for b, _ in rows], np.int64)
@@ -2916,7 +2989,7 @@ def q_grouped_quantiles(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        b = np.floor(t["value"].to_numpy() * float(_QSKETCH_SCALE)).astype(np.int64)
+        b = _hist_bucketize(t["value"].to_numpy())
         g = (
             pa.table({"event_type": t["event_type"], "bucket": pa.array(b)})
             .group_by(["event_type", "bucket"])

@@ -248,3 +248,45 @@ def test_tfidf_tokenize_ascii_trim_matches_re2():
             "SELECT regexp_replace(lower(?), '^\\s+|\\s+$', '', 'g')", [t]
         ).fetchone()[0]
         assert got == want, f"trim divergence for {t!r}: {got!r} vs {want!r}"
+
+
+def test_hist_bucketize_rejects_nan():
+    import numpy as np
+    import pytest
+
+    from cloud_crawler_ray.queries import _hist_bucketize
+
+    assert (_hist_bucketize(np.array([0.0, 1.5, -2.25])) == np.array([0, 24, -36])).all()
+    with pytest.raises(ValueError, match="NaN"):
+        _hist_bucketize(np.array([1.0, np.nan]))
+
+
+def test_col_max_empty_table(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloud_crawler_ray.queries import _col_max
+
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64())}), str(tmp_path / "documents.parquet"))
+    assert _col_max(str(tmp_path), "documents", "doc_id") == -1
+
+
+def test_secure_dump_root_rejects_permissive_root(tmp_path, monkeypatch):
+    """A pre-existing group/other-writable (or foreign-owned) dump root must
+    be refused — dumps there could be planted (self-review r5)."""
+    import getpass
+    import os
+    import tempfile
+
+    import pytest
+
+    from cloud_crawler_ray.queries import _secure_dump_root
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = tmp_path / f"ccr_oracle_{getpass.getuser()}"
+    root.mkdir(mode=0o777)
+    os.chmod(root, 0o777)  # mkdir applies umask; force the permissive bits
+    with pytest.raises(ValueError, match="not a private directory"):
+        _secure_dump_root()
+    os.chmod(root, 0o700)
+    assert _secure_dump_root() == str(root)
