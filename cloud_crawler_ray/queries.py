@@ -1666,6 +1666,34 @@ def q_repetition_score(sf_dir: str):
     return ds.map_batches(rep, **_PA)
 
 
+_CHUNK_TOKENS = 16
+
+
+def _doc_chunk_frame(t: pa.Table) -> pd.DataFrame:
+    """(doc_id, k, tok-chunk) frame: consecutive 16-token chunks per doc —
+    the shared chunk definition for q_chunk_dedup and q_decontaminate (a
+    doc's text is one row, so its chunks complete in-batch). Vectorized
+    tokenize + np offset math; the only per-chunk Python is the join."""
+    trimmed = pc.utf8_trim_whitespace(t["text"])
+    keep = pc.not_equal(trimmed, "")
+    doc = t["doc_id"].filter(keep)
+    toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
+    flat = pc.list_flatten(toks)
+    rep = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
+    counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_doc = np.arange(len(rep)) - starts[rep]
+    chunk_key = pos_in_doc // _CHUNK_TOKENS
+    df = pd.DataFrame(
+        {
+            "doc_id": doc.to_numpy(zero_copy_only=False)[rep],
+            "k": chunk_key,
+            "tok": flat.to_pylist(),
+        }
+    )
+    return df.groupby(["doc_id", "k"], sort=True)["tok"].agg(" ".join).reset_index()
+
+
 def q_chunk_dedup(sf_dir: str):
     """Token-chunk exact dedup — the substring-granularity dedup staple:
     split each document into consecutive 16-token chunks, keep-first per
@@ -1677,28 +1705,10 @@ def q_chunk_dedup(sf_dir: str):
     128-bit content hash of the chunk instead of the string (collision-safe,
     ~10× less shuffle volume); the string key is kept here so the DuckDB
     oracle can verify exact semantics."""
-    CHUNK = 16
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def chunks(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
-        keep = pc.not_equal(trimmed, "")
-        doc = t["doc_id"].filter(keep)
-        toks = pc.split_pattern_regex(pc.filter(trimmed, keep), r"\s+")
-        flat = pc.list_flatten(toks)
-        rep = pc.list_parent_indices(toks).to_numpy().astype(np.int64)
-        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_in_doc = np.arange(len(rep)) - starts[rep]
-        chunk_key = pos_in_doc // CHUNK
-        df = pd.DataFrame(
-            {
-                "doc_id": doc.to_numpy(zero_copy_only=False)[rep],
-                "k": chunk_key,
-                "tok": flat.to_pylist(),
-            }
-        )
-        g = df.groupby(["doc_id", "k"], sort=True)["tok"].agg(" ".join).reset_index()
+        g = _doc_chunk_frame(t)
         # per-batch partial combiner: one row per distinct chunk
         p = g.groupby("tok").agg(owner=("doc_id", "min"), n=("doc_id", "size")).reset_index()
         return pa.table(
@@ -1715,6 +1725,125 @@ def q_chunk_dedup(sf_dir: str):
         .aggregate(Min("owner_partial", alias_name="owner_doc"), Sum("n_partial", alias_name="n_copies"))
     )
     return out
+
+
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-ingestion exact dedup — the nightly corpus-append job:
+    the already-ingested corpus is the docs with split key frac < 0.5, the
+    incoming batch is the rest; output one row per DISTINCT new text (min
+    incoming doc_id as the survivor) with its incoming copy count. The
+    documents analog of the frontier's pushTasks anti-join dedup
+    (SqlQueueTaskProvider.scala:58-68): distinct-before-insert against the
+    existing corpus.
+
+    Shape: both sides stream through ONE hash-keyed groupby — each batch
+    tags rows corpus/incoming, keys them by the 128-bit content hash (the
+    curation-flagship pattern) and locally combines (corpus-presence max,
+    incoming-doc min, incoming count sum), so the exchange carries one row
+    per distinct text per batch and no text bytes; no driver state, no
+    second pass. Corpus-only texts drop via n_copies = 0, texts already in
+    the corpus drop via the presence flag."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    BIG = (1 << 63) - 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        frac = _knuth_key(t["doc_id"].to_numpy()) / 4294967296.0
+        inc = frac >= 0.5
+        doc = t["doc_id"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "h1": hash64(t["text"]).view(np.int64),
+                "h2": hash64(t["text"], seed=1).view(np.int64),
+                "corpus": (~inc).astype(np.int64),
+                "doc": np.where(inc, doc, BIG),
+                "n": inc.astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["h1", "h2"], sort=False)
+            .agg(corpus_p=("corpus", "max"), doc_p=("doc", "min"), n_p=("n", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(tag, **_PA)
+        .groupby(["h1", "h2"])
+        .aggregate(
+            Max("corpus_p", alias_name="in_corpus"),
+            Min("doc_p", alias_name="doc_id"),
+            Sum("n_p", alias_name="n_copies"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        new = pc.and_(pc.equal(t["in_corpus"], 0), pc.greater(t["n_copies"], 0))
+        kept = t.filter(new)
+        return pa.table({"doc_id": kept["doc_id"], "n_copies": kept["n_copies"]})
+
+    return agg.map_batches(finalize, **_PA)
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination — the pre-training hygiene staple: a
+    TRAIN document (split frac < 0.8) sharing ANY 16-token chunk with a
+    TEST document (frac ≥ 0.9) is contaminated; output (doc_id,
+    n_contaminated_chunks = number of distinct shared chunks). Same chunk
+    definition as q_chunk_dedup (``_doc_chunk_frame``), same overflow-safe
+    Knuth split as q_sample_split.
+
+    Shape: two streaming chunk-explode passes (train side emits per-doc
+    distinct chunk hashes — complete in-batch since a doc is one row; test
+    side distincts globally via one groupby), then a DISTRIBUTED hash join
+    on the 64-bit chunk hash with a post-join 128-bit confirm (h2 equality
+    filter — join stays single-key, collisions stay impossible at corpus
+    scale), then a per-doc count. No chunk strings cross the exchange."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side_chunks(t: pa.Table, lo: float, hi: float, with_doc: bool) -> pa.Table:
+        frac = _knuth_key(t["doc_id"].to_numpy()) / 4294967296.0
+        keep = (frac >= lo) & (frac < hi)
+        sub = t.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            cols = {"h1": pa.array([], pa.int64()), "h2": pa.array([], pa.int64())}
+            if with_doc:
+                cols["doc_id"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        g = _doc_chunk_frame(sub)
+        ch = pa.array(g["tok"], pa.string())
+        df = pd.DataFrame(
+            {
+                "h1": hash64(ch).view(np.int64),
+                "h2": hash64(ch, seed=1).view(np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+        # per-doc distinct is global distinct (a doc's chunks are in-batch)
+        df = df.drop_duplicates(["doc_id", "h1", "h2"])
+        if not with_doc:
+            df = df[["h1", "h2"]].drop_duplicates()  # batch-local combiner
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    train = ds.map_batches(lambda t: side_chunks(t, 0.0, 0.8, True), **_PA)
+    test = (
+        ds.map_batches(lambda t: side_chunks(t, 0.9, 2.0, False), **_PA)
+        .groupby(["h1", "h2"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: pa.table({"h1": t["h1"], "h2_t": t["h2"]}), **_PA)
+    )
+    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    j = train.join(test, join_type="inner", num_partitions=n_parts, on=("h1",))
+
+    def confirm_count(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.equal(t["h2"], t["h2_t"]))
+        g = ok.select(["doc_id"]).group_by("doc_id").aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "partial"])
+
+    return (
+        j.map_batches(confirm_count, **_PA)
+        .groupby("doc_id")
+        .aggregate(Sum("partial", alias_name="n_contaminated_chunks"))
+    )
 
 
 def q_embedding_dedup_groups(sf_dir: str):
@@ -1803,6 +1932,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "length_filter": q_length_filter,
     "chunk_dedup": q_chunk_dedup,
+    "incremental_dedup": q_incremental_dedup,
+    "decontaminate": q_decontaminate,
     "repetition_score": q_repetition_score,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
@@ -2107,6 +2238,43 @@ ORACLE_SQL = {
                min(doc_id) AS owner_doc,
                count(*) AS n_copies
         FROM c GROUP BY chunk
+    """,
+    "incremental_dedup": """
+        WITH keyed AS (
+            SELECT doc_id, text,
+                   ((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                    % 4294967296) / 4294967296.0 AS frac
+            FROM documents
+        ),
+        corpus AS (SELECT text FROM keyed WHERE frac < 0.5),
+        inc AS (SELECT doc_id, text FROM keyed WHERE frac >= 0.5)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM inc
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = inc.text)
+        GROUP BY inc.text
+    """,
+    "decontaminate": """
+        WITH keyed AS (
+            SELECT doc_id, text,
+                   ((CAST(doc_id % 4294967296 AS UBIGINT) * CAST(2654435761 AS UBIGINT))
+                    % 4294967296) / 4294967296.0 AS frac
+            FROM documents
+        ), s AS (
+            SELECT doc_id, frac,
+                   string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+            FROM keyed WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+        ), c AS (
+            SELECT doc_id, frac,
+                   array_to_string(list_slice(toks, k * 16 + 1, k * 16 + 16), ' ') AS chunk
+            FROM (SELECT doc_id, frac, toks,
+                         unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS k
+                  FROM s)
+        ),
+        tr AS (SELECT DISTINCT doc_id, chunk FROM c WHERE frac < 0.8),
+        te AS (SELECT DISTINCT chunk FROM c WHERE frac >= 0.9)
+        SELECT tr.doc_id, count(*) AS n_contaminated_chunks
+        FROM tr JOIN te USING (chunk)
+        GROUP BY tr.doc_id
     """,
     "top_terms": """
         WITH toks AS (
