@@ -146,6 +146,34 @@ def doc_fingerprint(texts, window: int = 4) -> np.ndarray:
     return out
 
 
+def doc_winnow_minima(texts, window: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc winnowing minima SETS (the MOSS-style selection the combined
+    ``doc_fingerprint`` folds into one value): returns (parent_idx, minima)
+    arrays — row i of ``texts`` contributes its distinct window minima
+    tagged with parent index i. Docs with fewer than ``window`` tokens have
+    no windows and contribute nothing (they are out of scope for
+    fingerprint-overlap pairing). Same rolling hash, window rule and
+    ``np.unique`` as doc_fingerprint — the two selections cannot drift."""
+    idxs: list[np.ndarray] = []
+    vals: list[np.ndarray] = []
+    for i, t in enumerate(texts):
+        toks = ws_tokens(t)
+        if len(toks) < window:
+            continue
+        th = hash64(toks)
+        roll = th.copy()
+        for w in range(1, window):
+            roll = roll[:-1] * _FP_B + th[w:]
+        k = min(window, len(roll))
+        strided = np.lib.stride_tricks.sliding_window_view(roll, k)
+        m = np.unique(strided.min(axis=1))
+        idxs.append(np.full(len(m), i, np.int64))
+        vals.append(m)
+    if not idxs:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    return np.concatenate(idxs), np.concatenate(vals).astype(np.uint64)
+
+
 # ------------------------------------------------------- shingles / minhash
 
 _MERSENNE = np.uint64((1 << 61) - 1)

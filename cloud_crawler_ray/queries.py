@@ -806,6 +806,57 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(f, **_PA)
 
 
+def q_fingerprint_neardup(sf_dir: str):
+    """MOSS-style near-dup pairs by winnowing-fingerprint overlap: two docs
+    sharing ≥ 2 distinct window minima (``doc_winnow_minima`` — the same
+    selection ``doc_fingerprint`` folds into one value) are near-dups.
+    Complements the per-doc fingerprint query with the pairing step a
+    plagiarism/near-dup pipeline actually runs.
+
+    Distributed shape (the phash-banding pattern): per batch, explode each
+    doc's distinct minima (complete in-batch — a doc is one row), bucket by
+    minimum-hash modulo a corpus-scaled bucket count, pair equal minima
+    inside each bucket group (each minimum lives in exactly one bucket, so
+    no pair is double-counted), then one (doc_a, doc_b) groupby-count with
+    the ≥ 2 threshold — work scales with shared-minima candidates, never
+    block². Oracle: the fingerprint oracle's ``minima`` CTE (exact SQL
+    restatement of the rolling hash + winnowing) self-joined on the
+    minimum value."""
+    K = 2
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_buckets = max(64, _row_count(sf_dir, "documents") // 64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        idx, m = T.doc_winnow_minima(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].to_numpy()[idx], pa.int64()),
+                "m": pa.array(m.view(np.int64), pa.int64()),
+                "bucket": pa.array((m % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.duplicated("m", keep=False)
+        g = g[dup]
+        if not len(g):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            )
+        mm = g.merge(g, on="m")
+        mm = mm[mm["doc_id_x"] < mm["doc_id_y"]]
+        return pd.DataFrame({"doc_a": mm["doc_id_x"].to_numpy(), "doc_b": mm["doc_id_y"].to_numpy()})
+
+    cand = (
+        ds.map_batches(explode, **_PA)
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    return cand.map_batches(lambda t: t.filter(pc.greater_equal(t["n_shared"], K)), **_PA)
+
+
 # --------------------------------------------------------------------------
 # Dedup suite (documents) — exact, minhash-LSH, simhash, n-gram jaccard
 # --------------------------------------------------------------------------
@@ -1920,6 +1971,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "fingerprint_neardup": q_fingerprint_neardup,
     "exact_text_dedup": q_exact_text_dedup,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -3677,7 +3729,10 @@ ORACLE_SQL["simhash"] = f"""
 # windows of min(4, len(roll)), distinct minima splitmix64'd and summed
 # mod 2^64. n>=7 → 4-wide windows at positions 1..n-6; 4<=n<=6 → a single
 # window (min of the whole roll); n<4 → sum of splitmix64(token hashes).
-ORACLE_SQL["fingerprint"] = f"""
+# shared CTE chain (tokenize -> hash64 -> rolling windows -> winnowing
+# minima) used by both the per-doc fingerprint oracle and the
+# fingerprint_neardup pairs oracle
+_FP_MINIMA_CTES = f"""
     WITH toks0 AS (
       SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tt FROM documents
     ), tl AS (
@@ -3706,7 +3761,9 @@ ORACLE_SQL["fingerprint"] = f"""
       SELECT DISTINCT doc_id, w4 AS m FROM wmins WHERE n >= 7 AND i <= n - 6
       UNION
       SELECT doc_id, min(roll) AS m FROM rolled WHERE n BETWEEN 4 AND 6 GROUP BY doc_id, n
-    ), sm_min AS (
+    )"""
+
+ORACLE_SQL["fingerprint"] = _FP_MINIMA_CTES + f""", sm_min AS (
       SELECT doc_id, {_sql_splitmix('sv', 'm')} FROM minima
     ), big AS (
       SELECT doc_id, CAST(sum(CAST(sv AS HUGEINT)) % {_M64} AS UBIGINT) AS v FROM sm_min GROUP BY doc_id
@@ -3717,6 +3774,15 @@ ORACLE_SQL["fingerprint"] = f"""
     ), vals AS (SELECT * FROM big UNION ALL SELECT * FROM small)
     SELECT d.doc_id, {_SQL_SIGNED64} AS fingerprint
     FROM documents d LEFT JOIN vals v USING (doc_id)
+"""
+
+# pairs oracle: self-join of the exact winnowing-minima sets; the engine's
+# int64 view of each minimum has the same bit pattern as the UBIGINT here,
+# and only doc ids + counts reach the compared output
+ORACLE_SQL["fingerprint_neardup"] = _FP_MINIMA_CTES + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM minima a JOIN minima b ON a.m = b.m AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 # minhash_lsh_pairs (q_minhash_lsh_pairs / _MinHashStage → text.py:161-223):
