@@ -113,6 +113,22 @@ def _row_count(sf_dir: str, table: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
 
 
+def _agg_join_side(ds, num_partitions: int):
+    """Make a groupby/aggregate output safe as a ``Dataset.join`` side.
+
+    Ray Data's hash aggregate can emit zero-row blocks with an EMPTY
+    schema (observed at sf0.1 with ~64 shuffle partitions: "Operator
+    produced a RefBundle with a different schema"); when such a block
+    lands on a join side, the Acero hash-join fails with "No match ...
+    for key field reference FieldRef". A map-based schema pin cannot
+    repair them — map operators forward zero-row bundles without invoking
+    the UDF — but a repartition rebuilds blocks by concatenation, which
+    drops the degenerate empties (verified at sf0.1). Cost: one extra
+    exchange of the aggregate output, which is small by construction in
+    every caller here."""
+    return ds.repartition(num_partitions)
+
+
 _SIDE_TABLE_CACHE: dict[tuple, str] = {}
 
 
@@ -1025,11 +1041,11 @@ def q_ngram_jaccard_dedup(sf_dir: str):
         .map_groups(pairs_bucket, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
     )
+    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    cand = _agg_join_side(cand, n_parts).select_columns(["doc_a", "doc_b"])
     # verify: join shingle sets back on and compute exact Jaccard
     side = sets.map_batches(lambda t: t.select(["doc_id", "sh"]), **_PA)
-    n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
     j1 = cand.join(side, join_type="inner", num_partitions=n_parts, on=("doc_a",), right_on=("doc_id",))
     j1 = j1.map_batches(
         lambda t: t.select(["doc_a", "doc_b", "sh"]).rename_columns(["doc_a", "doc_b", "sh_a"]), **_PA
@@ -1393,6 +1409,7 @@ def q_tfidf_topk(sf_dir: str):
         .aggregate(Sum("partial_df", alias_name="df"))
     )
     n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    df_ds = _agg_join_side(df_ds, n_parts)
     joined = tf.join(df_ds, join_type="inner", num_partitions=n_parts, on=("token",))
 
     def score_batch(t: pa.Table) -> pa.Table:
@@ -1880,9 +1897,11 @@ def q_decontaminate(sf_dir: str):
         ds.map_batches(lambda t: side_chunks(t, 0.9, 2.0, False), **_PA)
         .groupby(["h1", "h2"])
         .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: pa.table({"h1": t["h1"], "h2_t": t["h2"]}), **_PA)
     )
     n_parts = int(max(2, min(16, ray.cluster_resources().get("CPU", 8) // 2)))
+    test = _agg_join_side(test, n_parts).map_batches(
+        lambda t: pa.table({"h1": t["h1"], "h2_t": t["h2"]}), **_PA
+    )
     j = train.join(test, join_type="inner", num_partitions=n_parts, on=("h1",))
 
     def confirm_count(t: pa.Table) -> pa.Table:
@@ -1934,9 +1953,9 @@ def q_embedding_dedup_groups(sf_dir: str):
             labels, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("vec_id",)
         )
         cand = nb.map_batches(lambda t: pa.table({"vec_id": t["dst"], "label": t["label"]}), **_PA)
-        labels = (
-            cand.union(labels).groupby("vec_id").aggregate(Min("label", alias_name="label")).materialize()
-        )
+        labels = _agg_join_side(
+            cand.union(labels).groupby("vec_id").aggregate(Min("label", alias_name="label")), n_parts
+        ).materialize()  # aggregate output feeds next round's JOIN side
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break  # labels monotonically decrease; equal sum == fixpoint
