@@ -724,6 +724,67 @@ def q_zscore(sf_dir: str):
     return ds.map_batches(Z, concurrency=_pool(), **_PA)
 
 
+def q_percentile_rank(sf_dir: str):
+    """Per-row percentile rank of event value within its event_type —
+    ``percent_rank() OVER (PARTITION BY event_type ORDER BY value)``, the
+    rank-normalization a feature pipeline applies before thresholding.
+
+    Distributed shape (the length-filter histogram pattern, not a
+    per-partition sort): each batch emits (event_type, value, count)
+    partials — the combiner — one tiny groupby-sum collapses them to the
+    per-type value HISTOGRAM (≤ distinct values per type rows, KBs at
+    2-decimal value granularity), whose cumulative counts give rank =
+    1 + #strictly-smaller for every value; the broadcast lookup is then a
+    pure vectorized map over the events stream. percent_rank = (rank−1)/
+    (n−1) — one float division performed identically in numpy and DuckDB,
+    so the oracle is bit-checkable. No per-type sort, no O(rows) driver
+    state, single-row types emit 0.0 exactly like SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["event_type", "value"]).group_by(["event_type", "value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "value", "partial"])
+
+    hist = (
+        ds.map_batches(partial, **_PA)
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("partial", alias_name="cnt"))
+        .take_all()
+    )  # KB-sized: one row per distinct (type, value)
+    by_type: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    import collections
+
+    rows = collections.defaultdict(list)
+    for r in hist:
+        rows[r["event_type"]].append((float(r["value"]), int(r["cnt"])))
+    for etype, vals in rows.items():
+        vals.sort()
+        v = np.array([x for x, _ in vals], np.float64)
+        cum_below = np.concatenate([[0], np.cumsum([c for _, c in vals])[:-1]])
+        n = int(sum(c for _, c in vals))
+        by_type[etype] = (v, cum_below.astype(np.int64), n)
+    ref = ray.put(by_type)
+
+    class Rank:
+        def __init__(self):
+            self.by_type = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+            codes = enc.indices.to_numpy()
+            vals = t["value"].to_numpy()
+            out = np.zeros(t.num_rows, np.float64)
+            for code, etype in enumerate(enc.dictionary.to_pylist()):
+                m = codes == code
+                v, below, n = self.by_type[etype]
+                if n > 1:
+                    idx = np.searchsorted(v, vals[m])
+                    out[m] = below[idx] / float(n - 1)  # (rank-1)/(n-1)
+            return pa.table({"event_id": t["event_id"], "pct_rank": pa.array(out, pa.float64())})
+
+    return ds.map_batches(Rank, concurrency=_pool(), **_PA)
+
+
 def q_sliding_avg(sf_dir: str):
     """Sliding-window aggregate: 3-row moving average of event value per
     user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the sliding
@@ -1984,6 +2045,7 @@ QUERIES = {
     "asof_prev_event": q_asof_prev_event,
     "running_sum": q_running_sum,
     "sliding_avg": q_sliding_avg,
+    "percentile_rank": q_percentile_rank,
     "zscore": q_zscore,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
@@ -2109,6 +2171,11 @@ ORACLE_SQL = {
                          ORDER BY l_linenumber, CAST(round(l_quantity * 100) AS BIGINT)
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_qty
         FROM lineitem
+    """,
+    "percentile_rank": """
+        SELECT event_id,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank
+        FROM events
     """,
     "sliding_avg": """
         SELECT event_id, user_id,
