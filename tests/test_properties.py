@@ -164,3 +164,45 @@ class TestNeardupBlockingCompleteness:
         base = rng.normal(size=(25, 10))
         emb = base[rng.integers(0, 25, 600)] + rng.normal(scale=0.02, size=(600, 10))
         self._check(emb, tau=0.9)
+
+
+class TestHistogramQuantileSketch:
+    """The r5 approx-quantile redesign rests on ORDER-INVARIANCE: bucket
+    counts add under any partitioning/merge order, so the distributed
+    result equals a single-pass recompute bit-for-bit. Pin that property
+    plus the rank-exactness bound."""
+
+    @given(
+        st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=1, max_size=400),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=1, max_value=7),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_partition_invariance_and_rank_exactness(self, values, seed, n_parts):
+        import numpy as np
+
+        from cloud_crawler_ray.queries import _QSKETCH_SCALE, _hist_bucketize, _hist_quantile_pick
+
+        vals = np.asarray(values, np.float64)
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(vals))
+        # "distributed": bucketize shuffled partitions independently, merge counts
+        merged: dict[int, int] = {}
+        for part in np.array_split(vals[perm], n_parts):
+            if not len(part):
+                continue
+            ub, cnt = np.unique(_hist_bucketize(part), return_counts=True)
+            for b, c in zip(ub.tolist(), cnt.tolist()):
+                merged[b] = merged.get(b, 0) + int(c)
+        # single-pass reference
+        ub, cnt = np.unique(_hist_bucketize(vals), return_counts=True)
+        assert merged == dict(zip(ub.tolist(), cnt.tolist()))
+        bk = np.array(sorted(merged), np.int64)
+        cum = np.cumsum([merged[b] for b in bk.tolist()])
+        total = int(cum[-1])
+        srt = np.sort(vals)
+        for pct in (50, 90, 99):
+            est = _hist_quantile_pick(bk, cum, total, pct)
+            true = srt[(pct * (total - 1)) // 100]  # nearest-rank exact value
+            # rank-exact: the estimate is the true quantile's bucket floor
+            assert est <= true and true - est <= 1.0 / _QSKETCH_SCALE + 1e-12
